@@ -1,0 +1,186 @@
+package graft.kernel
+
+import graft.model.{Extracted, Page, Span}
+import org.apache.spark.TaskContext
+
+/** The per-document extract kernel: pure Scala, runs inside
+  * `Dataset[Page].mapPartitions`, one call per row, no I/O.
+  *
+  * Re-expresses the reference's dispatch → split → per-unit extract →
+  * ordered merge dataflow (ocr_service.py:255-289 dispatch,
+  * pdf_utils.py:119-172 split+merge) with content sniffing instead of
+  * file-extension dispatch (there are no filenames in a pages table):
+  *
+  *   - empty payload            → failed, "文件内容为空" (routes.py:93-95)
+  *   - payload > 10 MB          → failed, "文件大小超过限制" (routes.py:63-68)
+  *   - "%PDF-" magic            → PDF branch: page split + per-page text
+  *                                extract + A8 merge; page errors isolated
+  *                                (A9: doc still completes, failures appear
+  *                                only in the merged footer)
+  *   - HTML-looking bytes       → single-unit branch: main-content extract
+  *                                (the process_image analogue — no merge
+  *                                headers, exactly like the single-image
+  *                                path ocr_service.py:277-278)
+  *   - anything else            → failed, "不支持的文件类型: {ext}"
+  *                                (ocr_service.py:280) with the sniffed
+  *                                magic's extension label
+  *
+  * Engine profiles mirror the reference's three engines as deterministic
+  * kernel variants (no external calls in this engine):
+  *   - "standard": plain extraction (the tesseract path)
+  *   - "llm":      A6 semantics — an empty extraction result becomes the
+  *                 fixed literal "API响应中提取到的文本内容为空"
+  *                 (llm_service.py:302), never an exception
+  *   - "ollama":   output_format serializers over the same extraction
+  *                 (ollama_ocr_service.py:40-46 prompt templates →
+  *                 plain_text / markdown / json here)
+  */
+object ExtractKernel {
+
+  val Completed = "completed"
+  val Failed = "failed"
+
+  /** sniffed magic → the extension label used in the A1 error string */
+  def sniffExtLabel(b: Array[Byte]): String = {
+    def is(prefix: Int*): Boolean =
+      b.length >= prefix.length && prefix.zipWithIndex.forall { case (v, i) => (b(i) & 0xff) == v }
+    if (is('P', 'K', 3, 4)) ".zip"
+    else if (is(0x89, 'P', 'N', 'G')) ".png"
+    else if (is(0xFF, 0xD8, 0xFF)) ".jpg"
+    else if (is('G', 'I', 'F', '8')) ".gif"
+    else if (is('I', 'I', '*', 0) || is('M', 'M', 0, '*')) ".tiff"
+    else if (is('B', 'M')) ".bmp"
+    else ".bin"
+  }
+
+  private def isPdf(b: Array[Byte]): Boolean =
+    b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
+
+  /** HTML sniff: first non-whitespace byte is '<', or "<html" / "<!doctype"
+    * appears in the first 256 bytes (case-insensitive).
+    */
+  private def looksHtml(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+    if (i < b.length && b(i) == '<') return true
+    val lim = math.min(b.length, 256)
+    val head = new String(b, 0, lim, "ISO-8859-1").toLowerCase
+    head.contains("<html") || head.contains("<!doctype")
+  }
+
+  final case class Profile(engine: String, outputFormat: String = "plain_text")
+  val Standard: Profile = Profile("standard")
+
+  def extractOne(p: Page, bucket: Int, profile: Profile = Standard): Extracted = {
+    val b = stripBom(if (p.html == null) Array.emptyByteArray else p.html)
+    if (b.isEmpty)
+      Extracted(p.url, Failed, "", Seq.empty, MergeSpec.EmptyFile, 0, 0, profile.engine, bucket)
+    else if (b.length > MergeSpec.MaxContentLength)
+      Extracted(p.url, Failed, "", Seq.empty, MergeSpec.FileTooLarge, 0, 0, profile.engine, bucket)
+    else if (isPdf(b)) extractPdf(p, b, bucket, profile)
+    else if (looksHtml(b)) extractHtml(p, b, bucket, profile)
+    else
+      Extracted(p.url, Failed, "", Seq.empty,
+        MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
+  }
+
+  private def extractHtml(p: Page, b: Array[Byte], bucket: Int, profile: Profile): Extracted = {
+    try {
+      val html = new String(b, "UTF-8")
+      val res = MainContent.extract(html)
+      val text = serialize(res, profile)
+      Extracted(p.url, Completed, text, res.spans, "", 1, 0, profile.engine, bucket)
+    } catch {
+      case e: Exception =>
+        // A3 contract: never die on a bad unit — fall back like
+        // preprocess_image's "use original image" (ocr_service.py:110-112)
+        if (profile.engine == "llm")
+          Extracted(p.url, Completed, MergeSpec.LlmNoText, Seq.empty, "", 1, 0, profile.engine, bucket)
+        else
+          Extracted(p.url, Failed, "", Seq.empty,
+            s"图片OCR处理失败: ${e.getMessage}", 1, 1, profile.engine, bucket)
+    }
+  }
+
+  private def extractPdf(p: Page, b: Array[Byte], bucket: Int, profile: Profile): Extracted = {
+    val pagesE =
+      try PdfParser.parse(b)
+      catch {
+        case e: Exception =>
+          return Extracted(p.url, Failed, "", Seq.empty,
+            s"PDF处理失败: ${e.getMessage}", 0, 0, profile.engine, bucket)
+      }
+    // per-page llm-profile fallback literal (A6) applies to empty page text
+    val withProfile = pagesE.map {
+      case Right(t) if profile.engine == "llm" && t.isEmpty => Right(MergeSpec.LlmEmptyText)
+      case other => other
+    }
+    val (merged, nFailed) = MergeSpec.mergePages(withProfile)
+    Extracted(p.url, Completed, merged, Seq.empty, "", pagesE.length, nFailed,
+      profile.engine, bucket)
+  }
+
+  private def serialize(res: MainContent.Result, profile: Profile): String =
+    profile.outputFormat match {
+      case "markdown" =>
+        // ollama markdown template: headings bolded (ollama_ocr_service.py:42)
+        val sb = new java.lang.StringBuilder(res.text.length + 16)
+        res.spans.zipWithIndex.foreach { case (s, i) =>
+          if (i > 0) sb.append("\n\n")
+          val piece = res.text.substring(s.start.toInt, s.end.toInt)
+          if (s.kind.length == 2 && s.kind.charAt(0) == 'h') sb.append("**").append(piece).append("**")
+          else sb.append(piece)
+        }
+        sb.toString
+      case "json" =>
+        val sb = new java.lang.StringBuilder(res.text.length + 32)
+        sb.append("{\"blocks\":[")
+        res.spans.zipWithIndex.foreach { case (s, i) =>
+          if (i > 0) sb.append(',')
+          sb.append("{\"kind\":\"").append(s.kind).append("\",\"text\":")
+          sb.append(jsonQuote(res.text.substring(s.start.toInt, s.end.toInt)))
+          sb.append('}')
+        }
+        sb.append("]}")
+        sb.toString
+      case _ =>
+        val t = res.text
+        if (t.isEmpty && profile.engine == "llm") MergeSpec.LlmEmptyText else t
+    }
+
+  private def jsonQuote(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  private def stripBom(b: Array[Byte]): Array[Byte] =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xEF && (b(1) & 0xff) == 0xBB && (b(2) & 0xff) == 0xBF)
+      java.util.Arrays.copyOfRange(b, 3, b.length)
+    else b
+
+  /** Partition-level runner for mapPartitions: cooperative cancellation via
+    * TaskContext interruption checks between documents (A10 analogue —
+    * the reference checks its in-memory cancel set between pages,
+    * ocr_service.py:35-45; Spark's unit of cooperative cancel is the task).
+    */
+  def run(bucketOf: Page => Int, profile: Profile = Standard)(
+      it: Iterator[Page]): Iterator[Extracted] = {
+    val ctx = TaskContext.get()
+    it.map { p =>
+      if (ctx != null && ctx.isInterrupted())
+        throw new org.apache.spark.TaskKilledException()
+      extractOne(p, bucketOf(p), profile)
+    }
+  }
+}

@@ -1,0 +1,204 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming HTML tokenizer: one forward pass, no regex, no backtracking,
+  * total (never throws on any input — scalacheck-verified).
+  *
+  * Replaces the raster front half of the reference's per-unit extract
+  * (ocr_service.py:114-156 image→tesseract): our "OCR" of an HTML payload
+  * is tokenize → DOM arena → boilerplate strip (see MainContent).
+  *
+  * Scope: the HTML5 subset that matters for text extraction — tags with
+  * class/id attributes, text with entity decoding, comments, doctypes,
+  * rawtext elements (script/style/title/textarea), void elements. Tree
+  * construction fixes (implied end tags) live in DomArena.
+  */
+object HtmlTokenizer {
+
+  sealed trait Tok
+  /** name is lower-cased; classId = lower-cased "class id" attr values. */
+  final case class StartTag(name: String, classId: String, selfClosing: Boolean) extends Tok
+  final case class EndTag(name: String) extends Tok
+  /** Decoded text (entities resolved). */
+  final case class Text(s: String) extends Tok
+
+  private val rawTextTags = Set("script", "style", "textarea", "title", "noscript")
+
+  def tokenize(html: String): ArrayBuffer[Tok] = {
+    val out = new ArrayBuffer[Tok](64)
+    val n = html.length
+    var i = 0
+    val text = new java.lang.StringBuilder(256)
+
+    def flushText(): Unit = {
+      if (text.length() > 0) { out += Text(text.toString); text.setLength(0) }
+    }
+
+    def isNameStart(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isNameChar(c: Char): Boolean =
+      isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+
+    // decode one entity starting at html(start) == '&'; returns (decoded, next index)
+    def entity(start: Int): (String, Int) = {
+      var j = start + 1
+      if (j < n && html.charAt(j) == '#') {
+        j += 1
+        var hex = false
+        if (j < n && (html.charAt(j) == 'x' || html.charAt(j) == 'X')) { hex = true; j += 1 }
+        var v = 0L
+        val digits0 = j
+        while (j < n && v <= 0x10FFFF && {
+          val c = html.charAt(j)
+          if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+          else c >= '0' && c <= '9'
+        }) {
+          val c = html.charAt(j)
+          val d = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+          v = v * (if (hex) 16 else 10) + d
+          j += 1
+        }
+        if (j == digits0 || v <= 0 || v > 0x10FFFF ||
+            (v >= 0xD800 && v <= 0xDFFF)) ("&", start + 1)
+        else {
+          val end = if (j < n && html.charAt(j) == ';') j + 1 else j
+          (new String(Character.toChars(v.toInt)), end)
+        }
+      } else {
+        val nameEnd0 = {
+          var k = j
+          while (k < n && k - j < 10 && isNameChar(html.charAt(k))) k += 1
+          k
+        }
+        val name = html.substring(j, nameEnd0)
+        val semi = nameEnd0 < n && html.charAt(nameEnd0) == ';'
+        val dec = name match {
+          case "amp"  => "&"
+          case "lt"   => "<"
+          case "gt"   => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "nbsp" => "\u00a0"
+          case _      => null
+        }
+        if (dec != null && semi) (dec, nameEnd0 + 1)
+        else ("&", start + 1)
+      }
+    }
+
+    // parse attributes from i until '>' (or EOF); returns (classId, selfClosing, nextIndex)
+    def attrs(from: Int): (String, Boolean, Int) = {
+      var j = from
+      var classId = ""
+      var self = false
+      while (j < n && html.charAt(j) != '>') {
+        val c = html.charAt(j)
+        if (c == '/') { self = true; j += 1 }
+        else if (c.isWhitespace) j += 1
+        else if (isNameStart(c)) {
+          val a0 = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val aname = html.substring(a0, j).toLowerCase
+          while (j < n && html.charAt(j).isWhitespace) j += 1
+          var value = ""
+          if (j < n && html.charAt(j) == '=') {
+            j += 1
+            while (j < n && html.charAt(j).isWhitespace) j += 1
+            if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+              val q = html.charAt(j); j += 1
+              val v0 = j
+              while (j < n && html.charAt(j) != q) j += 1
+              value = html.substring(v0, j)
+              if (j < n) j += 1
+            } else {
+              val v0 = j
+              while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
+              value = html.substring(v0, j)
+            }
+          }
+          if (aname == "class" || aname == "id")
+            classId = if (classId.isEmpty) value.toLowerCase
+                      else classId + " " + value.toLowerCase
+        } else j += 1
+      }
+      (classId, self, if (j < n) j + 1 else j)
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 1 < n && html.charAt(i + 1) == '!') {
+          flushText()
+          if (i + 3 < n && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (i + 1 < n && html.charAt(i + 1) == '?') {
+          flushText()
+          val end = html.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && html.charAt(i + 1) == '/') {
+          var j = i + 2
+          if (j < n && isNameStart(html.charAt(j))) {
+            flushText()
+            val t0 = j
+            while (j < n && isNameChar(html.charAt(j))) j += 1
+            val name = html.substring(t0, j).toLowerCase
+            while (j < n && html.charAt(j) != '>') j += 1
+            out += EndTag(name)
+            i = if (j < n) j + 1 else j
+          } else { text.append(c); i += 1 } // "</3" — literal text
+        } else if (i + 1 < n && isNameStart(html.charAt(i + 1))) {
+          flushText()
+          var j = i + 1
+          val t0 = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val name = html.substring(t0, j).toLowerCase
+          val (classId, self, next) = attrs(j)
+          out += StartTag(name, classId, self)
+          i = next
+          // rawtext: consume verbatim until the matching close tag
+          if (!self && rawTextTags.contains(name)) {
+            val close = "</" + name
+            val k = ciIndexOf(html, close, i)
+            val end = if (k < 0) n else k
+            if (end > i) out += Text(html.substring(i, end)) // raw, no entity decode
+            if (k < 0) i = n
+            else {
+              val gt = html.indexOf('>', k)
+              out += EndTag(name)
+              i = if (gt < 0) n else gt + 1
+            }
+          }
+        } else { text.append(c); i += 1 } // bare '<'
+      } else if (c == '&') {
+        val (dec, next) = entity(i)
+        text.append(dec)
+        i = next
+      } else {
+        text.append(c)
+        i += 1
+      }
+    }
+    flushText()
+    out
+  }
+
+  /** Case-insensitive indexOf for ASCII needles. */
+  private def ciIndexOf(hay: String, needle: String, from: Int): Int = {
+    val nl = needle.length
+    var i = math.max(from, 0)
+    val last = hay.length - nl
+    while (i <= last) {
+      var k = 0
+      while (k < nl && ((hay.charAt(i + k) | 0x20) == (needle.charAt(k) | 0x20))) k += 1
+      if (k == nl) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,145 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+import graft.model.Span
+
+/** Main-content selection over a DomArena: trafilatura/boilerpipe-style
+  * boilerplate strip using (a) tag blocklists, (b) class/id token
+  * blocklists, (c) per-block link-density — emitting extracted text plus
+  * character-span offsets per kept block.
+  *
+  * This is the HTML analogue of the reference's per-unit extract
+  * (ocr_service.py:114-156): where tesseract turns one page image into a
+  * text string, this turns one HTML payload into the page's main text.
+  * The A3 preprocess analogue (charset/entity/whitespace normalization —
+  * ocr_service.py:85-112's "fall back to raw on error" contract) is the
+  * normalization pass here, total by construction.
+  */
+object MainContent {
+
+  /** elements whose entire subtree is never content */
+  private val prunedTags = Set(
+    "script", "style", "noscript", "template", "head", "title",
+    "nav", "header", "footer", "aside", "form", "iframe", "svg",
+    "button", "select", "option", "object", "textarea")
+
+  /** class/id tokens that mark chrome/boilerplate subtrees */
+  private val blockedClassTokens = Set(
+    "nav", "navbar", "menu", "sidebar", "footer", "header", "banner",
+    "ad", "ads", "advert", "advertisement", "adsense", "cookie",
+    "breadcrumb", "breadcrumbs", "share", "social", "comment", "comments",
+    "related", "widget", "promo", "sponsor", "sponsored", "popup",
+    "modal", "subscribe", "newsletter", "pagination", "masthead", "toolbar")
+
+  /** inline (phrasing) elements — everything else is a block boundary */
+  private val inlineTags = Set(
+    "a", "b", "i", "em", "strong", "span", "u", "s", "small", "big",
+    "code", "sub", "sup", "abbr", "cite", "q", "time", "mark", "label",
+    "br", "img", "wbr", "kbd", "samp", "var", "bdi", "bdo", "data",
+    "dfn", "ins", "del", "ruby", "rt", "rp", "tt", "font", "#text")
+
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** boilerpipe-style cut: a block more than half of whose characters are
+    * anchor text is navigation, not content */
+  private val MaxLinkDensity = 0.5
+
+  private def classBlocked(classId: String): Boolean = {
+    if (classId.isEmpty) return false
+    var i = 0
+    val n = classId.length
+    while (i < n) {
+      while (i < n && !isTokChar(classId.charAt(i))) i += 1
+      val s = i
+      while (i < n && isTokChar(classId.charAt(i))) i += 1
+      if (i > s && blockedClassTokens.contains(classId.substring(s, i))) return true
+    }
+    false
+  }
+  private def isTokChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** collapse whitespace runs to single spaces and trim */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '\u00a0') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length() > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  final case class Result(text: String, spans: Seq[Span])
+
+  def extract(html: String): Result = {
+    val arena = DomArena.build(html)
+    val n = arena.size
+    // inherited per-node flags; node order == document (pre)order
+    val pruned = new Array[Boolean](n)
+    val inLink = new Array[Boolean](n)
+    val nearestBlock = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val p = arena.parent(i)
+      val t = arena.tag(i)
+      if (p < 0) { pruned(i) = false; inLink(i) = false; nearestBlock(i) = i }
+      else {
+        pruned(i) = pruned(p) || prunedTags.contains(t) || classBlocked(arena.classId(i))
+        inLink(i) = inLink(p) || t == "a"
+        nearestBlock(i) = if (inlineTags.contains(t)) nearestBlock(p) else i
+      }
+      i += 1
+    }
+
+    // segment text nodes by nearest block ancestor (document order)
+    final case class Seg(block: Int, raw: java.lang.StringBuilder,
+                         var linkChars: Int, var totalChars: Int)
+    val segs = new ArrayBuffer[Seg](16)
+    var cur: Seg = null
+    i = 0
+    while (i < n) {
+      if (arena.isText(i) && !pruned(i)) {
+        val blk = nearestBlock(i)
+        if (cur == null || cur.block != blk) {
+          cur = Seg(blk, new java.lang.StringBuilder(64), 0, 0)
+          segs += cur
+        }
+        val norm = normalize(arena.text(i))
+        if (norm.nonEmpty) {
+          cur.totalChars += norm.length
+          if (inLink(i)) cur.linkChars += norm.length
+        }
+        cur.raw.append(arena.text(i))
+      }
+      i += 1
+    }
+
+    // select + assemble
+    val outText = new java.lang.StringBuilder(256)
+    val spans = new ArrayBuffer[Span](segs.length)
+    segs.foreach { s =>
+      val t = normalize(s.raw.toString)
+      if (t.nonEmpty) {
+        val kind = arena.tag(s.block)
+        val heading = headingTags.contains(kind)
+        val density =
+          if (s.totalChars == 0) 0.0 else s.linkChars.toDouble / s.totalChars
+        if (heading || density <= MaxLinkDensity) {
+          if (outText.length() > 0) outText.append("\n\n")
+          val start = outText.length().toLong
+          outText.append(t)
+          spans += Span(start, outText.length().toLong, kind)
+        }
+      }
+    }
+    Result(outText.toString, spans.toSeq)
+  }
+}

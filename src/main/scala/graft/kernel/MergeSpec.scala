@@ -1,0 +1,70 @@
+package graft.kernel
+
+/** Executable spec of the reference's ordered page merge + summary footer
+  * (operator A8) — the byte-identity crux of the whole engine.
+  *
+  * Format (reference /root/reference/app/utils/pdf_utils.py:140-172,
+  * duplicated verbatim at app/services/llm_service.py:409-448):
+  *   - page i (0-based), success: "--- 第{i+1}页 ---\n{page_text}"
+  *     (pdf_utils.py:153)
+  *   - page i, failure:          "--- 第{i+1}页（处理失败）---"
+  *     (full-width parens, pdf_utils.py:158)
+  *   - all parts joined with "\n\n" (pdf_utils.py:161)
+  *   - footer, some failures (pdf_utils.py:165):
+  *     "\n\n--- 处理摘要 ---\n总页数: {N}\n成功页数: {N-F}\n失败页数: {F}\n失败页码: {p1, p2}"
+  *     (failed page numbers 1-based, joined with ", ")
+  *   - footer, no failures (pdf_utils.py:167):
+  *     "\n\n--- 处理摘要 ---\n总页数: {N}\n所有页面处理成功"
+  *
+  * This single function is shared by the extraction kernel and the golden
+  * fixture generator so the byte contract has exactly one definition.
+  */
+object MergeSpec {
+
+  /** Merge per-page outcomes. Left = failure (error message ignored in the
+    * merged text, exactly as the reference drops the exception message at
+    * pdf_utils.py:158); Right = page text.
+    * Returns (merged text, failed page count).
+    */
+  def mergePages(pages: Seq[Either[String, String]]): (String, Int) = {
+    val parts = pages.zipWithIndex.map {
+      case (Right(t), i) => s"--- 第${i + 1}页 ---\n$t"
+      case (Left(_), i)  => s"--- 第${i + 1}页（处理失败）---"
+    }
+    val failed = pages.zipWithIndex.collect { case (Left(_), i) => i + 1 }
+    val combined = parts.mkString("\n\n")
+    val footer =
+      if (failed.nonEmpty)
+        s"\n\n--- 处理摘要 ---\n总页数: ${pages.length}\n成功页数: ${pages.length - failed.length}\n失败页数: ${failed.length}\n失败页码: ${failed.mkString(", ")}"
+      else
+        s"\n\n--- 处理摘要 ---\n总页数: ${pages.length}\n所有页面处理成功"
+    (combined + footer, failed.length)
+  }
+
+  // ---- Error-string literals that are *data* (must match the reference
+  //      byte-for-byte; SURVEY.md §7.4 item 2) ----
+
+  /** Unsupported payload type (ocr_service.py:280: "不支持的文件类型: {ext}").
+    * The reference formats the file extension; we format the sniffed-magic
+    * label (documented divergence: content sniffing replaces ext dispatch).
+    */
+  def unsupportedType(extLabel: String): String = s"不支持的文件类型: $extLabel"
+
+  /** Empty payload (routes.py:93-95, code EMPTY_FILE). */
+  val EmptyFile: String = "文件内容为空"
+
+  /** Payload over the 10 MB cap (routes.py:63-68, code FILE_TOO_LARGE;
+    * cap from config.py:15).
+    */
+  val FileTooLarge: String = "文件大小超过限制"
+
+  /** Max payload bytes (config.py:15 MAX_CONTENT_LENGTH). */
+  val MaxContentLength: Int = 10 * 1024 * 1024
+
+  // ---- llm-profile literals (A6, llm_service.py:255-317): defensive
+  //      response handling returns these fixed strings AS the result text,
+  //      never an exception. ----
+  val LlmNoText: String = "API响应中没有找到文本内容"
+  val LlmEmptyText: String = "API响应中提取到的文本内容为空"
+  val LlmBadFormat: String = "API响应格式无效，无法提取文本内容"
+}

@@ -1,0 +1,537 @@
+package graft.kernel
+
+import scala.collection.mutable
+import java.util.zip.Inflater
+
+/** Minimal from-spec PDF text extractor.
+  *
+  * Replaces the reference's PDF branch — pdf2image rasterize
+  * (pdf_utils.py:14-117) + per-page tesseract (ocr_service.py:114-156) —
+  * with direct text extraction: object scan → page-tree walk →
+  * FlateDecode → content-stream text operators (BT/ET, Tj/TJ/'/",
+  * Td/TD/T*). Per-page failures are isolated (operator A9,
+  * pdf_utils.py:150-158): a corrupt content stream yields Left for that
+  * page only; structural corruption of the document throws (whole-doc
+  * failure, like a pdf2image split failure at pdf_utils.py:115-117).
+  *
+  * Supported subset (what the deterministic fixture generator emits, see
+  * graft.sources.PdfGen): direct or single-level-ref objects, FlateDecode
+  * or raw streams, literal strings (latin-1 bytes, octal/char escapes) and
+  * hex strings (UTF-16BE when BOM-prefixed), one text line per Td/TD/T*.
+  */
+object PdfParser {
+
+  final class PdfStructureException(msg: String) extends Exception(msg)
+
+  sealed trait PV
+  final case class PNum(d: Double) extends PV
+  final case class PName(s: String) extends PV
+  final case class PStr(bytes: Array[Byte], hex: Boolean) extends PV
+  final case class PArr(items: Vector[PV]) extends PV
+  final case class PDict(m: Map[String, PV]) extends PV
+  final case class PRef(num: Int, gen: Int) extends PV
+  final case class PBool(b: Boolean) extends PV
+  case object PNull extends PV
+
+  private final case class Obj(value: PV, stream: Array[Byte]) {
+    def hasStream: Boolean = stream != null
+  }
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+    c == '{' || c == '}' || c == '/' || c == '%'
+  private def isDigit(c: Int): Boolean = c >= '0' && c <= '9'
+
+  /** Recursive-descent lexer/parser over the raw bytes. */
+  private final class Lexer(val b: Array[Byte]) {
+    var pos = 0
+    def n: Int = b.length
+    def at(i: Int): Int = if (i >= 0 && i < n) b(i) & 0xff else -1
+
+    def skipWs(): Unit = {
+      while (pos < n) {
+        val c = at(pos)
+        if (isWs(c)) pos += 1
+        else if (c == '%') { while (pos < n && at(pos) != '\n') pos += 1 }
+        else return
+      }
+    }
+
+    def startsWith(s: String): Boolean = {
+      if (pos + s.length > n) return false
+      var k = 0
+      while (k < s.length) { if (at(pos + k) != s.charAt(k)) return false; k += 1 }
+      true
+    }
+
+    def keyword(): String = {
+      val s = pos
+      while (pos < n && !isWs(at(pos)) && !isDelim(at(pos))) pos += 1
+      new String(b, s, pos - s, "ISO-8859-1")
+    }
+
+    def parseValue(depth: Int): PV = {
+      if (depth > 64) throw new PdfStructureException("nesting too deep")
+      skipWs()
+      if (pos >= n) throw new PdfStructureException("unexpected EOF")
+      val c = at(pos)
+      if (c == '/') {
+        pos += 1
+        PName(keyword())
+      } else if (c == '(') {
+        pos += 1
+        PStr(literalString(), hex = false)
+      } else if (c == '<') {
+        if (at(pos + 1) == '<') { pos += 2; parseDict(depth + 1) }
+        else { pos += 1; PStr(hexString(), hex = true) }
+      } else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[PV]
+        skipWs()
+        while (pos < n && at(pos) != ']') { items += parseValue(depth + 1); skipWs() }
+        if (pos < n) pos += 1
+        PArr(items.result())
+      } else if (isDigit(c) || c == '+' || c == '-' || c == '.') {
+        numberOrRef()
+      } else {
+        keyword() match {
+          case "true"  => PBool(true)
+          case "false" => PBool(false)
+          case "null"  => PNull
+          case other   => throw new PdfStructureException(s"unexpected token '$other'")
+        }
+      }
+    }
+
+    def parseDict(depth: Int): PDict = {
+      val m = Map.newBuilder[String, PV]
+      skipWs()
+      while (pos < n && !startsWith(">>")) {
+        if (at(pos) != '/') throw new PdfStructureException("dict key must be a name")
+        pos += 1
+        val k = keyword()
+        val v = parseValue(depth)
+        m += k -> v
+        skipWs()
+      }
+      if (startsWith(">>")) pos += 2 else throw new PdfStructureException("unterminated dict")
+      PDict(m.result())
+    }
+
+    private def numberOrRef(): PV = {
+      val s = pos
+      if (at(pos) == '+' || at(pos) == '-') pos += 1
+      var isInt = true
+      while (pos < n && (isDigit(at(pos)) || at(pos) == '.')) {
+        if (at(pos) == '.') isInt = false
+        pos += 1
+      }
+      val numStr = new String(b, s, pos - s, "ISO-8859-1")
+      val v = try numStr.toDouble catch {
+        case _: NumberFormatException => throw new PdfStructureException(s"bad number '$numStr'")
+      }
+      if (isInt && v >= 0) {
+        // lookahead for "gen R"
+        val save = pos
+        skipWs()
+        val g0 = pos
+        while (pos < n && isDigit(at(pos))) pos += 1
+        if (pos > g0) {
+          val gen = new String(b, g0, pos - g0, "ISO-8859-1").toInt
+          skipWs()
+          if (pos < n && at(pos) == 'R' &&
+              (pos + 1 >= n || isWs(at(pos + 1)) || isDelim(at(pos + 1)))) {
+            pos += 1
+            return PRef(v.toInt, gen)
+          }
+        }
+        pos = save
+      }
+      PNum(v)
+    }
+
+    def literalString(): Array[Byte] = {
+      val out = new mutable.ArrayBuilder.ofByte
+      var depth = 1
+      while (pos < n && depth > 0) {
+        val c = at(pos)
+        if (c == '\\') {
+          pos += 1
+          val e = at(pos)
+          e match {
+            case 'n' => out += '\n'.toByte; pos += 1
+            case 'r' => out += '\r'.toByte; pos += 1
+            case 't' => out += '\t'.toByte; pos += 1
+            case 'b' => out += '\b'.toByte; pos += 1
+            case 'f' => out += '\f'.toByte; pos += 1
+            case '(' => out += '('.toByte; pos += 1
+            case ')' => out += ')'.toByte; pos += 1
+            case '\\' => out += '\\'.toByte; pos += 1
+            case '\r' => pos += 1; if (at(pos) == '\n') pos += 1 // line continuation
+            case '\n' => pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0
+              while (k < 3 && at(pos) >= '0' && at(pos) <= '7') {
+                v = v * 8 + (at(pos) - '0'); pos += 1; k += 1
+              }
+              out += v.toByte
+            case -1 => pos += 1
+            case other => out += other.toByte; pos += 1
+          }
+        } else if (c == '(') { depth += 1; out += '('.toByte; pos += 1 }
+        else if (c == ')') {
+          depth -= 1
+          if (depth > 0) out += ')'.toByte
+          pos += 1
+        } else if (c == -1) { pos = n }
+        else { out += c.toByte; pos += 1 }
+      }
+      out.result()
+    }
+
+    def hexString(): Array[Byte] = {
+      val out = new mutable.ArrayBuilder.ofByte
+      var hi = -1
+      while (pos < n && at(pos) != '>') {
+        val c = at(pos)
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out += ((hi << 4) | d).toByte; hi = -1 }
+        }
+        pos += 1
+      }
+      if (hi >= 0) out += (hi << 4).toByte
+      if (pos < n) pos += 1
+      out.result()
+    }
+  }
+
+  // -------------------------------------------------------------------
+
+  /** Parse the document and return per-page text outcomes, in page order. */
+  def extractPages(bytes: Array[Byte]): Seq[Either[String, String]] = {
+    val objs = scanObjects(bytes)
+    def resolve(v: PV): PV = v match {
+      case PRef(num, _) => objs.get(num).map(_.value).getOrElse(PNull)
+      case other        => other
+    }
+    def dictOf(v: PV): Map[String, PV] = resolve(v) match {
+      case PDict(m) => m
+      case _        => Map.empty
+    }
+
+    // locate catalog: trailer /Root, else any /Type /Catalog object
+    val rootDict: Map[String, PV] = {
+      val viaTrailer = findTrailerRoot(bytes).flatMap { ref =>
+        objs.get(ref.num).map(o => dictOf(o.value))
+      }
+      viaTrailer.filter(_.nonEmpty).orElse {
+        objs.values.collectFirst {
+          case o if dictOf(o.value).get("Type").contains(PName("Catalog")) =>
+            dictOf(o.value)
+        }
+      }.getOrElse(throw new PdfStructureException("no document catalog"))
+    }
+
+    // walk the page tree in order
+    val pages = mutable.ArrayBuffer.empty[Map[String, PV]]
+    val seen = mutable.Set.empty[Int]
+    def walk(node: PV, depth: Int): Unit = {
+      if (depth > 64) throw new PdfStructureException("page tree too deep")
+      node match {
+        case r: PRef =>
+          if (seen.add(r.num)) walk(resolve(r), depth)
+        case PDict(m) =>
+          m.get("Type") match {
+            case Some(PName("Page")) => pages += m
+            case _ =>
+              resolve(m.getOrElse("Kids", PNull)) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _ => if (m.get("Type").contains(PName("Pages")))
+                  throw new PdfStructureException("Pages node without Kids")
+              }
+          }
+        case _ => ()
+      }
+    }
+    walk(rootDict.getOrElse("Pages",
+      throw new PdfStructureException("catalog has no /Pages")), 0)
+    if (pages.isEmpty) throw new PdfStructureException("document has no pages")
+
+    pages.toSeq.zipWithIndex.map { case (page, idx) =>
+      try {
+        val contentsVal = page.getOrElse("Contents", PNull)
+        val content = contentsVal match {
+          case r: PRef => resolve(r) match {
+            case PArr(parts) =>
+              val total = new java.io.ByteArrayOutputStream()
+              parts.foreach { p => total.write(decodeStreamFor(p, objs, resolve)); total.write('\n') }
+              total.toByteArray
+            case _ => decodeStreamFor(r, objs, resolve)
+          }
+          case PArr(parts) =>
+            val total = new java.io.ByteArrayOutputStream()
+            parts.foreach { p => total.write(decodeStreamFor(p, objs, resolve)); total.write('\n') }
+            total.toByteArray
+          case _ => throw new PdfStructureException(s"page ${idx + 1} has no content stream")
+        }
+        Right(contentText(content))
+      } catch {
+        case e: Exception => Left(s"page ${idx + 1}: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Scan all "num gen obj ... endobj" definitions (robust to a broken or
+    * absent xref table — we never trust offsets we didn't verify).
+    */
+  private def scanObjects(bytes: Array[Byte]): Map[Int, Obj] = {
+    val out = mutable.Map.empty[Int, Obj]
+    val lex = new Lexer(bytes)
+    var i = indexOf(bytes, "obj", 0)
+    while (i >= 0) {
+      // boundary: preceded by ws, followed by ws/delim
+      val okAfter = i + 3 >= bytes.length || isWs(bytes(i + 3) & 0xff) ||
+        isDelim(bytes(i + 3) & 0xff)
+      if (okAfter && i > 0 && isWs(bytes(i - 1) & 0xff)) {
+        // backtrack: ws digits(gen) ws digits(num)
+        var j = i - 1
+        while (j >= 0 && isWs(bytes(j) & 0xff)) j -= 1
+        val genEnd = j
+        while (j >= 0 && isDigit(bytes(j) & 0xff)) j -= 1
+        val genStart = j + 1
+        if (genEnd >= genStart) {
+          var k = j
+          while (k >= 0 && isWs(bytes(k) & 0xff)) k -= 1
+          val numEnd = k
+          while (k >= 0 && isDigit(bytes(k) & 0xff)) k -= 1
+          val numStart = k + 1
+          if (numEnd >= numStart &&
+              (numStart == 0 || isWs(bytes(numStart - 1) & 0xff) ||
+               isDelim(bytes(numStart - 1) & 0xff))) {
+            val num = new String(bytes, numStart, numEnd - numStart + 1, "ISO-8859-1").toInt
+            try {
+              lex.pos = i + 3
+              val v = lex.parseValue(0)
+              var (ss, se) = (-1, -1)
+              lex.skipWs()
+              if (lex.startsWith("stream")) {
+                lex.pos += 6
+                if (lex.at(lex.pos) == '\r') lex.pos += 1
+                if (lex.at(lex.pos) == '\n') lex.pos += 1
+                ss = lex.pos
+                val declared = v match {
+                  case PDict(m) => m.get("Length") match {
+                    case Some(PNum(d)) => d.toInt
+                    case _             => -1
+                  }
+                  case _ => -1
+                }
+                se =
+                  if (declared >= 0 && ss + declared <= bytes.length &&
+                      matchesAt(bytes, "endstream", skipWsFrom(bytes, ss + declared)))
+                    ss + declared
+                  else {
+                    val e = indexOf(bytes, "endstream", ss)
+                    if (e < 0) bytes.length else trimEol(bytes, ss, e)
+                  }
+              }
+              val streamBytes =
+                if (ss >= 0) java.util.Arrays.copyOfRange(bytes, ss, math.max(ss, se))
+                else null
+              out(num) = Obj(v, streamBytes)
+            } catch { case _: Exception => () } // skip malformed object
+          }
+        }
+      }
+      i = indexOf(bytes, "obj", i + 3)
+    }
+    out.toMap
+  }
+
+  private def skipWsFrom(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && isWs(b(i) & 0xff)) i += 1
+    i
+  }
+  private def trimEol(b: Array[Byte], start: Int, end: Int): Int = {
+    var e = end
+    if (e > start && b(e - 1) == '\n') e -= 1
+    if (e > start && b(e - 1) == '\r') e -= 1
+    e
+  }
+  private def matchesAt(b: Array[Byte], s: String, at: Int): Boolean = {
+    if (at + s.length > b.length) return false
+    var k = 0
+    while (k < s.length) { if (b(at + k) != s.charAt(k)) return false; k += 1 }
+    true
+  }
+  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+    val first = s.charAt(0).toByte
+    var i = math.max(from, 0)
+    val last = b.length - s.length
+    while (i <= last) {
+      if (b(i) == first && matchesAt(b, s, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def findTrailerRoot(bytes: Array[Byte]): Option[PRef] = {
+    var at = -1
+    var i = indexOf(bytes, "trailer", 0)
+    while (i >= 0) { at = i; i = indexOf(bytes, "trailer", i + 7) }
+    if (at < 0) return None
+    try {
+      val lex = new Lexer(bytes)
+      lex.pos = at + 7
+      lex.parseValue(0) match {
+        case PDict(m) => m.get("Root").collect { case r: PRef => r }
+        case _        => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeStreamFor(
+      contentsVal: PV,
+      objs: Map[Int, Obj],
+      resolve: PV => PV): Array[Byte] = {
+    val obj = contentsVal match {
+      case PRef(num, _) =>
+        objs.getOrElse(num, throw new PdfStructureException(s"missing content object $num"))
+      case _ => throw new PdfStructureException("content must be an indirect stream")
+    }
+    if (!obj.hasStream) throw new PdfStructureException("content object has no stream")
+    val raw = obj.stream
+    val filters: Seq[String] = obj.value match {
+      case PDict(m) => resolve(m.getOrElse("Filter", PNull)) match {
+        case PName(f)   => Seq(f)
+        case PArr(fs)   => fs.collect { case PName(f) => f }
+        case _          => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    filters.foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" => inflate(data)
+        case other => throw new PdfStructureException(s"unsupported filter /$other")
+      }
+    }
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0) {
+          if (inf.needsInput() || inf.needsDictionary())
+            throw new PdfStructureException("corrupt flate stream")
+        } else out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Extract text from a decoded content stream: BT/ET, Tj/TJ/'/" emit
+    * strings; Td/TD with a vertical move, or T*, start a new line.
+    */
+  def contentText(cs: Array[Byte]): String = {
+    val lex = new Lexer(cs)
+    val sb = new java.lang.StringBuilder(256)
+    var lineHasText = false
+    var numA = 0.0
+    var numB = 0.0
+    val strings = mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def newline(): Unit = {
+      if (lineHasText) { sb.append('\n'); lineHasText = false }
+    }
+    def emit(bytes: Array[Byte]): Unit = {
+      sb.append(decodeString(bytes))
+      lineHasText = true
+    }
+
+    while (lex.pos < cs.length) {
+      lex.skipWs()
+      if (lex.pos >= cs.length) ()
+      else {
+        val c = lex.at(lex.pos)
+        if (c == '(') { lex.pos += 1; strings += lex.literalString() }
+        else if (c == '<' && lex.at(lex.pos + 1) == '<') {
+          lex.pos += 2
+          try { lex.parseDict(0); () } catch { case _: Exception => () }
+        } else if (c == '<') { lex.pos += 1; strings += lex.hexString() }
+        else if (c == '[' || c == ']') lex.pos += 1
+        else if (c == '/') { lex.pos += 1; lex.keyword(); () }
+        else if (isDigit(c) || c == '+' || c == '-' || c == '.') {
+          val s = lex.pos
+          lex.pos += 1
+          while (lex.pos < cs.length && (isDigit(lex.at(lex.pos)) || lex.at(lex.pos) == '.'))
+            lex.pos += 1
+          val txt = new String(cs, s, lex.pos - s, "ISO-8859-1")
+          val v = try txt.toDouble catch { case _: NumberFormatException => 0.0 }
+          numA = numB; numB = v
+        } else {
+          val op = lex.keyword()
+          if (op.isEmpty) lex.pos += 1
+          else op match {
+            case "Tj" =>
+              if (strings.nonEmpty) emit(strings.last)
+              strings.clear()
+            case "TJ" =>
+              strings.foreach(emit)
+              strings.clear()
+            case "'" =>
+              newline()
+              if (strings.nonEmpty) emit(strings.last)
+              strings.clear()
+            case "\"" =>
+              newline()
+              if (strings.nonEmpty) emit(strings.last)
+              strings.clear()
+            case "Td" | "TD" =>
+              if (numB != 0.0) newline()
+              strings.clear()
+            case "T*" =>
+              newline()
+              strings.clear()
+            case "BT" =>
+              lineHasText = false
+              strings.clear()
+            case _ =>
+              strings.clear()
+          }
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Hex strings with a UTF-16BE BOM decode as UTF-16BE (the convention
+    * our fixture generator uses for non-latin text); everything else is
+    * latin-1 bytes (Type1 standard-encoding approximation).
+    */
+  def decodeString(bytes: Array[Byte]): String = {
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF)
+      new String(bytes, 2, bytes.length - 2, "UTF-16BE")
+    else new String(bytes, "ISO-8859-1")
+  }
+
+  /** Entry point. */
+  def parse(bytes: Array[Byte]): Seq[Either[String, String]] = {
+    if (bytes == null || bytes.length < 5)
+      throw new PdfStructureException("not a PDF payload")
+    extractPages(bytes)
+  }
+}

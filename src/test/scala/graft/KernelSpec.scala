@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kernel.{DomArena, ExtractKernel, HtmlTokenizer, MainContent, MergeSpec, PdfParser}
+import graft.model.Page
+import graft.sources.{PageSynth, PdfGen}
+
+/** Pure-kernel tests: no SparkSession needed. */
+class KernelSpec extends AnyFunSuite {
+
+  // ---- A8 merge byte-identity (pdf_utils.py:140-172) ----
+
+  test("merge: all pages succeed") {
+    val (txt, nf) = MergeSpec.mergePages(Seq(Right("hello"), Right("world")))
+    assert(nf == 0)
+    assert(txt ==
+      "--- 第1页 ---\nhello\n\n--- 第2页 ---\nworld" +
+      "\n\n--- 处理摘要 ---\n总页数: 2\n所有页面处理成功")
+  }
+
+  test("merge: some pages fail (full-width parens, 1-based page nums, ', ' join)") {
+    val (txt, nf) = MergeSpec.mergePages(Seq(Right("a"), Left("boom"), Left("x"), Right("d")))
+    assert(nf == 2)
+    assert(txt ==
+      "--- 第1页 ---\na\n\n--- 第2页（处理失败）---\n\n--- 第3页（处理失败）---\n\n--- 第4页 ---\nd" +
+      "\n\n--- 处理摘要 ---\n总页数: 4\n成功页数: 2\n失败页数: 2\n失败页码: 2, 3")
+  }
+
+  test("merge: all pages fail") {
+    val (txt, nf) = MergeSpec.mergePages(Seq(Left("e1")))
+    assert(nf == 1)
+    assert(txt ==
+      "--- 第1页（处理失败）---" +
+      "\n\n--- 处理摘要 ---\n总页数: 1\n成功页数: 0\n失败页数: 1\n失败页码: 1")
+  }
+
+  // ---- tokenizer / DOM ----
+
+  test("tokenizer: entities, rawtext, comments, malformed") {
+    val toks = HtmlTokenizer.tokenize(
+      "<p class=\"X\">a &amp; b &lt;c&gt; &#65; &unknown; < 3</p><!-- hidden --><script>if(a<b){}</script>")
+    val texts = toks.collect { case HtmlTokenizer.Text(s) => s }
+    assert(texts.head == "a & b <c> A &unknown; < 3")
+    assert(texts.exists(_.contains("if(a<b)"))) // rawtext verbatim
+  }
+
+  test("dom arena: parent/child indices well-formed; implied </p>") {
+    val a = DomArena.build("<div><p>one<p>two</div>")
+    // every non-root node's parent is an earlier node; children linked
+    (1 until a.size).foreach { i =>
+      assert(a.parent(i) >= 0 && a.parent(i) < i)
+    }
+    val pNodes = (0 until a.size).filter(i => a.tag(i) == "p")
+    assert(pNodes.size == 2)
+    // second p must NOT be a child of the first (implied close)
+    assert(a.parent(pNodes(1)) != pNodes(0))
+  }
+
+  test("main content: strips chrome, keeps article, decodes entities") {
+    val html =
+      """<html><head><title>T</title><style>x{}</style></head><body>
+        |<nav><a href="/">Home</a></nav>
+        |<div class="sidebar"><a>L1</a><a>L2</a></div>
+        |<article><h1>Title</h1><p>Hello &amp; goodbye</p>
+        |<p>Second <a href="/x">linked</a> para</p></article>
+        |<div class="k"><a>p</a> <a>q</a> <a>r</a></div>
+        |<footer>(c) me</footer></body></html>""".stripMargin
+    val r = MainContent.extract(html)
+    assert(r.text == "Title\n\nHello & goodbye\n\nSecond linked para")
+    assert(r.spans.map(_.kind) == Seq("h1", "p", "p"))
+    // span invariant: slices reassemble the text
+    val slices = r.spans.map(s => r.text.substring(s.start.toInt, s.end.toInt))
+    assert(slices.mkString("\n\n") == r.text)
+  }
+
+  // ---- PDF round-trip ----
+
+  test("pdf: generator → parser round-trips page texts (ascii + CJK)") {
+    val pages = Seq("line one\nline two", "中文段落1：你好 world", "third (page) \\ done")
+    val bytes = PdfGen.build(pages)
+    val got = PdfParser.parse(bytes)
+    assert(got == pages.map(Right(_)))
+  }
+
+  test("pdf: corrupt middle page isolated (A9)") {
+    val pages = Seq("p1", "p2", "p3")
+    val bytes = PdfGen.build(pages, corruptPages = Set(1))
+    val got = PdfParser.parse(bytes)
+    assert(got(0) == Right("p1"))
+    assert(got(1).isLeft)
+    assert(got(2) == Right("p3"))
+  }
+
+  test("pdf: structural garbage throws (whole-doc failure)") {
+    intercept[Exception] {
+      PdfParser.parse("%PDF-1.4 not really a pdf at all".getBytes("UTF-8"))
+    }
+  }
+
+  // ---- kernel dispatch (A1) ----
+
+  private def mkPage(b: Array[Byte]) =
+    Page("https://h/x", new java.sql.Timestamp(0L), b, "", "en")
+
+  test("dispatch: empty / oversize / unsupported / pdf / html") {
+    val e = ExtractKernel.extractOne(mkPage(Array.emptyByteArray), 0)
+    assert(e.status == "failed" && e.error == "文件内容为空")
+
+    val big = ExtractKernel.extractOne(mkPage(new Array[Byte](MergeSpec.MaxContentLength + 1)), 0)
+    assert(big.status == "failed" && big.error == "文件大小超过限制")
+
+    val zip = ExtractKernel.extractOne(
+      mkPage("PK".getBytes ++ Array[Byte](3, 4) ++ "junk".getBytes), 0)
+    assert(zip.status == "failed" && zip.error == "不支持的文件类型: .zip")
+
+    val pdf = ExtractKernel.extractOne(mkPage(PdfGen.build(Seq("pg"))), 0)
+    assert(pdf.status == "completed" && pdf.n_pages == 1 &&
+      pdf.text.startsWith("--- 第1页 ---\npg"))
+
+    val html = ExtractKernel.extractOne(mkPage("<p>hi</p>".getBytes("UTF-8")), 0)
+    assert(html.status == "completed" && html.text == "hi")
+  }
+
+  // ---- synth → kernel golden equality (the byte contract) on handmade docs ----
+
+  test("golden: synthesized html extracts byte-identically") {
+    val docs = Seq(
+      PageSynth.Doc(0, "the quick brown fox jumps over the lazy dog again and again and more words here to fill", "en", "src0"),
+      PageSynth.Doc(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma", "fr", "src1"),
+      PageSynth.Doc(12, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece catorce quince", "zh", "src2"),
+      PageSynth.Doc(56, "mixed words and some more content for the malformed sidebar case with enough words to chunk", "de", "src3"),
+      PageSynth.Doc(9, "short doc body here with a handful of words only", "es", "src4")
+    )
+    docs.foreach { d =>
+      val golden = PageSynth.goldenFor(d)
+      val got = ExtractKernel.extractOne(PageSynth.pageFor(d), 0)
+      assert(got.status == golden.expected_status, s"doc ${d.doc_id} status")
+      val gotB = got.text.getBytes("UTF-8")
+      val expB = golden.expected_text.getBytes("UTF-8")
+      assert(java.util.Arrays.equals(gotB, expB),
+        s"doc ${d.doc_id}:\n---got---\n${got.text}\n---want---\n${golden.expected_text}")
+    }
+  }
+
+  test("golden: synthesized pdf (incl. corrupt page + zh) extracts byte-identically") {
+    val docs = Seq(
+      PageSynth.Doc(7, "pdf words go here in a medium sized document with several chunks of text to split into pages and lines", "en", "src0"),
+      PageSynth.Doc(17, "another pdf document body with plenty of words so that we get at least two pages of content out of it for the merge format check", "zh", "src1"),
+      PageSynth.Doc(47 + 101, "corrupt page doc with sufficient words to make three or more paragraphs so the middle page failure marker shows up in the merged output for sure yes really", "en", "src2"),
+      PageSynth.Doc(13, "", "en", "src3"),          // empty payload
+      PageSynth.Doc(29, "unsupported", "en", "src4") // zip magic
+    )
+    docs.foreach { d =>
+      val golden = PageSynth.goldenFor(d)
+      val got = ExtractKernel.extractOne(PageSynth.pageFor(d), 0)
+      assert(got.status == golden.expected_status, s"doc ${d.doc_id} status")
+      assert(got.error == golden.expected_error, s"doc ${d.doc_id} error")
+      assert(got.n_pages == golden.expected_n_pages, s"doc ${d.doc_id} n_pages")
+      assert(got.n_failed_pages == golden.expected_n_failed, s"doc ${d.doc_id} n_failed")
+      assert(java.util.Arrays.equals(
+        got.text.getBytes("UTF-8"), golden.expected_text.getBytes("UTF-8")),
+        s"doc ${d.doc_id}:\n---got---\n${got.text}\n---want---\n${golden.expected_text}")
+    }
+  }
+}
