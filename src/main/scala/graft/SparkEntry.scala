@@ -3,17 +3,18 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.kernel.ExtractKernel
-import graft.operators.ExtractJob
+import graft.operators.{Dedup, ExtractJob, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.PageSynth
+import graft.streaming.StreamingExtract
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` carries one entry per implemented operator (SURVEY.md §2);
-  * `oracleSql` carries the DuckDB-equivalent SQL for every relational
-  * operator (the driver's correctness gate). Extraction queries are
-  * non-SQL-expressible (rows-only check) — their byte contract is
-  * enforced by GoldenSpec / `sbt -batch test` instead.
+  * `oracleSql` carries the DuckDB-equivalent SQL for every
+  * SQL-expressible operator (the driver's correctness gate). Extraction,
+  * LSH-sketch, and kernel-heuristic queries are non-SQL-expressible
+  * (rows-only check) — their byte/semantic contracts are enforced by the
+  * ScalaTest specs (`sbt -batch test`) instead.
   */
 object SparkEntry {
 
@@ -34,42 +35,95 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- extraction pipeline (A1-A11; byte contract via GoldenSpec) ----
-    "extract_main" -> ((s, dir) => {
-      val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-      extracted.toDF().select("url", "status", "text", "error",
-        "n_pages", "n_failed_pages", "engine", "bucket")
-    }),
-    "extract_spans" -> ((s, dir) => {
-      val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-      extracted.toDF()
-        .select(col("url"), explode(col("spans")).as("span"))
-        .select(col("url"), col("span.start").as("start"),
-          col("span.end").as("end"), col("span.kind").as("kind"))
-    }),
-    "extract_lineage" -> ((s, dir) => {
-      val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-      ExtractJob.lineage(extracted, snapshotId = 1L)
-    }),
-    "extract_by_host" -> ((s, dir) => {
-      val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-      ExtractJob.metricsByHost(extracted)
-    }),
-    "extract_golden_diff" -> ((s, dir) => {
-      // regression diff: urls whose extracted bytes mismatch golden (must be empty)
-      val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32).toDF()
-      val golden = PageSynth.golden(s, dir).toDF()
-      extracted.join(golden, Seq("url"))
-        .filter(col("text") =!= col("expected_text") ||
-          col("status") =!= col("expected_status") ||
-          col("error") =!= col("expected_error"))
-        .select("url", "status", "expected_status")
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val extraction: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // ---- extraction pipeline (A1-A11; byte contract via KernelSpec golden tests) ----
+      "extract_main" -> ((s, dir) => {
+        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
+        extracted.toDF().select("url", "status", "text", "error",
+          "n_pages", "n_failed_pages", "engine", "bucket")
+      }),
+      "extract_spans" -> ((s, dir) => {
+        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
+        extracted.toDF()
+          .select(col("url"), explode(col("spans")).as("span"))
+          .select(col("url"), col("span.start").as("start"),
+            col("span.end").as("end"), col("span.kind").as("kind"))
+      }),
+      "extract_lineage" -> ((s, dir) => {
+        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
+        ExtractJob.lineage(extracted, snapshotId = 1L)
+      }),
+      "extract_by_host" -> ((s, dir) => {
+        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
+        ExtractJob.metricsByHost(extracted)
+      }),
+      "extract_golden_check" -> ((s, dir) => {
+        // byte-identity summary vs golden-by-construction fixtures:
+        // n_mismatched MUST be 0 (also asserted per-url in KernelSpec)
+        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32).toDF()
+        val golden = PageSynth.golden(s, dir).toDF()
+        extracted.join(golden, Seq("url"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("text") === col("expected_text") &&
+              col("status") === col("expected_status") &&
+              col("error") === col("expected_error"), 1L).otherwise(0L)).as("n_byte_identical"),
+            sum(when(col("text") =!= col("expected_text") ||
+              col("status") =!= col("expected_status") ||
+              col("error") =!= col("expected_error"), 1L).otherwise(0L)).as("n_mismatched"))
+      }),
+      "stream_extract_counts" -> ((s, dir) => {
+        // same kernel via Structured Streaming (Trigger.AvailableNow)
+        val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        PageSynth.pages(s, dir).write.mode("overwrite").parquet(s"$base/pages")
+        StreamingExtract.runAvailableNow(s, s"$base/pages", "stream_extract")
+        s.table("stream_extract")
+          .groupBy(col("status")).agg(count(lit(1)).as("n"),
+            sum(col("n_pages").cast("long")).as("total_pages"))
+          .orderBy(col("status"))
+      }),
+      // ---- multimodal binary-column plumbing ----
+      "mm_media_meta" -> ((s, dir) =>
+        Multimodal.mediaMeta(s, dir).toDF()
+          .select("url", "media_type", "n_bytes", "content_hash", "entropy_m",
+            "width", "height", "decode_ok")),
+      "mm_triage" -> ((s, dir) => Multimodal.mediaTriage(s, dir)),
+      // ---- dedup family ----
+      "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
+      "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
+      "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
+      "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
+      "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
+      // ---- similarity search ----
+      "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
+      "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+      // ---- text analysis ----
+      "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+      "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
+      "text_top_tokens" -> ((s, dir) => TextAnalysis.textTopTokens(s, dir)),
+      "text_langid" -> ((s, dir) => TextAnalysis.textLangid(s, dir)),
+      "text_fingerprint" -> ((s, dir) => TextAnalysis.textFingerprint(s, dir))
+    )
+    val relational = Relational.all.map { case (name, fn, _) =>
+      name -> fn
+    }.toMap
+    extraction ++ relational
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (extraction kernel, LSH sketches, heuristic kernels) → driver
+    * records a rows-only check; their contracts are covered by specs.
     */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++ Map(
+      "dedup_exact" -> Dedup.dedupExactSql,
+      "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+      "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+      "ann_bruteforce" -> Similarity.annBruteForceSql,
+      "text_stats" -> TextAnalysis.textStatsSql,
+      "text_quality" -> TextAnalysis.textQualitySql,
+      "text_top_tokens" -> TextAnalysis.textTopTokensSql
+    )
 }

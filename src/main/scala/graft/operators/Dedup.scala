@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline layer on top of the extraction engine (a Common-Crawl corpus is
+  * ~30% near-duplicate; dedup is the first post-extraction stage).
+  *
+  * Five strategies, smallest-to-largest scale reach:
+  *   - exact:        hash-groupBy on md5(text). One shuffle. Works at any
+  *                   scale (the hash is the shuffle key).
+  *   - ngramJaccard: exact n-gram-shingle Jaccard via shingle self-join.
+  *                   Quadratic in docs-per-shingle → correct but only for
+  *                   verification / small corpora; at 100 TB the shingle
+  *                   self-join explodes on common shingles.
+  *   - minhash LSH:  the scale path. 128 minhashes (h1 + i*h2 family) →
+  *                   32 bands × 4 rows → bucket join emits candidates →
+  *                   exact Jaccard verify on candidates only. Linear in
+  *                   corpus size + candidate count.
+  *   - simhash:      64-bit weighted token fingerprint; hamming ≤ 3 via
+  *                   4×16-bit chunk banding (pigeonhole: ≤3 flipped bits
+  *                   leave ≥1 chunk intact).
+  *   - embedding:    cosine ≥ 0.99 near-dup pairs; brute-force pair join
+  *                   here (oracle-checkable), LSH variant in Similarity.
+  *
+  * All tokenization is the shared `[a-z0-9]+` lowercase-alnum runs so the
+  * Spark side and the DuckDB oracle agree byte-for-byte.
+  *
+  * The testdata corpus has no planted duplicates, so each strategy runs on
+  * `corpus()` = documents ∪ deterministic near-copies (doc_id+1000000,
+  * text + a marker suffix) — SQL-expressible, so the oracle sees the same
+  * duplicates.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.6
+
+  /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated). */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graft dup marker suffix")).as("text")))
+  }
+
+  val corpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' graft dup marker suffix' AS text
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Exact dedup: group identical texts by md5, keep the min doc_id.
+    * The canonical first pass at any scale — one shuffle on the digest.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    s"""WITH all_docs AS ($corpusSql)
+       |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Lowercase-alnum tokens (shared with the DuckDB oracle). */
+  def tokensCol(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** 3-gram word shingles, distinct (SQL form; toks[] is 0-based). Guarded
+    * so docs with <3 tokens yield an empty array (Spark `sequence` would
+    * otherwise generate a DESCENDING range for start > stop).
+    */
+  val shinglesExpr: Column = expr(
+    "array_distinct(CASE WHEN size(toks) >= 3 THEN " +
+      "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+      "ELSE array() END)")
+
+  /** (doc_id, shingle) exploded pairs. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesExpr).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (shingle self-join). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("inter").cast("double") /
+        (col("sa.n") + col("sb.n") - col("inter")) >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH all_docs AS ($corpusSql),
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM all_docs),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH (the 100 TB path)
+  // ------------------------------------------------------------------
+
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand = 4 // (1/32)^(1/4) ≈ 0.42 S-curve midpoint, tuned for J ≥ 0.6
+
+  /** MinHash signature from two base hashes: h_i(s) = h1(s) + i·h2(s)
+    * (Indyk's affine family — standard public construction). Deterministic,
+    * no RNG: both base hashes are xxhash64 with fixed seeds.
+    */
+  def minhashSignature(shingles: Iterable[String]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = XxHash.hashBytes(bytes, 42L)
+      val h2 = XxHash.hashBytes(bytes, 271828L) | 1L // odd → full-period
+      var i = 0
+      var h = h1
+      while (i < NumHashes) {
+        if (h < sig(i)) sig(i) = h
+        h += h2
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Hash one band of the signature to a bucket id. */
+  def bandHash(sig: Array[Long], band: Int): Long = {
+    var h = 1125899906842597L
+    var i = band * RowsPerBand
+    val end = i + RowsPerBand
+    while (i < end) { h = h * 31 + sig(i); i += 1 }
+    h
+  }
+
+  /** Candidate pairs via LSH banding, then exact-Jaccard verification on
+    * candidates only. Three shuffles total (sig groupBy, band bucket join,
+    * verify join) — each linear in corpus + candidates, never quadratic in
+    * the corpus. Buckets with > maxBucket docs are dropped (degenerate
+    * shingle content — same role as a stopword cap), logged via lineage at
+    * scale.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(s, dir)
+    // per-doc shingle sets → signatures → (band, bucket, doc)
+    val bands = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, shingles) =>
+        val sig = minhashSignature(shingles)
+        (0 until Bands).map(b => (id, b, bandHash(sig, b)))
+      }
+      .toDF("doc_id", "band", "bucket")
+    // candidate pairs: co-bucketed docs (distinct across bands)
+    val byBucket = bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cand = byBucket
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    // exact verify on candidates only
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")), 3))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  val SimhashMaxHamming = 3
+  val SimhashChunks = 4 // 4×16-bit; hamming ≤ 3 → ≥ 1 chunk identical
+
+  /** 64-bit simhash over token counts (Charikar's construction). */
+  def simhash(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    tokens.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+    counts.foreach { case (t, w) =>
+      val h = XxHash.hashBytes(t.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += w else acc(j) -= w
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ 3 via chunk banding.
+    * Same 3-shuffle shape as minhash LSH; candidate set is docs sharing
+    * any 16-bit chunk value (pigeonhole-complete for hamming ≤ 3).
+    */
+  def dedupSimhash(s: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
+    import s.implicits._
+    val sigs = corpus(s, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, simhash(toks)) }
+      .toDF("doc_id", "sig")
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
+          "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))
+      .select(col("doc_id"), col("sig"), col("p.chunk"), col("p.v"))
+    val byBucket = chunks.groupBy(col("chunk"), col("v"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    byBucket
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x.doc_id AS id_a, x.sig AS sig_a, y.doc_id AS id_b, y.sig AS sig_b))))"))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"),
+        expr("bit_count(p.sig_a ^ p.sig_b)").as("hamming"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding cosine near-dup (brute-force pair join; LSH path lives in
+  // Similarity.annLsh)
+  // ------------------------------------------------------------------
+
+  val CosineThreshold = 0.99
+
+  /** embeddings ∪ planted exact copies (every 20th vector). */
+  def vecCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    e.unionAll(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("e")))
+  }
+
+  val vecCorpusSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+
+  /** dot(a,b) with built-in higher-order functions — zip_with + aggregate
+    * keep the whole computation inside codegen'd Catalyst expressions
+    * (no UDF, no serialization off the internal row).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine ≥ 0.99 near-dup pairs; norms precomputed per side so the pair
+    * join multiplies scalars. The pair join is O(n²) — this operator is the
+    * verification-grade variant; at scale, bucket first (Similarity.annLsh).
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = vecCorpus(s, dir).withColumn("nrm", l2norm(col("e")))
+    val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= CosineThreshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH all_v AS ($vecCorpusSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.e, b.e) >= $CosineThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+}

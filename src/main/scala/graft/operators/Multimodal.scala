@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.model.Page
+import graft.sources.PageSynth
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, exactly like the `html` column of
+  * the pages table. The Spark-side machinery here is real and tested —
+  * schema, partition-preserving typed map, bounded per-row memory, batch
+  * shape — while the codec itself is STUBBED (this container has no
+  * image/audio libraries): `stubDecode` produces deterministic fake
+  * dimensions from the payload bytes and is clearly marked as the seam
+  * where a real decoder (JNI/FFI codec, or Pandas UDF over mapInPandas on
+  * a PySpark cluster) plugs in.
+  *
+  * Real computations (not stubbed): content sniffing, byte count, xxhash64
+  * content hash, byte-histogram Shannon entropy — the triage columns a
+  * 100 TB media crawl actually partitions and filters on before spending
+  * decode cycles.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      url: String,
+      media_type: String, // sniffed: html | pdf | zip | empty | bin
+      n_bytes: Long,
+      content_hash: Long, // xxhash64 of payload (dedup/triage key)
+      entropy_m: Long,    // Shannon entropy of byte histogram, millibits
+      width: Int,         // STUB decode output (deterministic fake)
+      height: Int,        // STUB decode output (deterministic fake)
+      decode_ok: Boolean)
+
+  def sniffType(b: Array[Byte]): String = {
+    if (b == null || b.isEmpty) "empty"
+    else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
+    else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
+    else if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
+      .toLowerCase.contains("<!doctype")) "html"
+    else "bin"
+  }
+
+  /** Shannon entropy of the byte histogram, in millibits (integer → exact
+    * cross-engine comparison; real triage metric: encrypted/compressed
+    * payloads sit near 8000, text near 4500).
+    */
+  def entropyMillibits(b: Array[Byte]): Long = {
+    if (b == null || b.isEmpty) return 0L
+    val hist = new Array[Long](256)
+    var i = 0
+    while (i < b.length) { hist(b(i) & 0xff) += 1; i += 1 }
+    var h = 0.0
+    val n = b.length.toDouble
+    i = 0
+    while (i < 256) {
+      if (hist(i) > 0) { val p = hist(i) / n; h -= p * math.log(p) }
+      i += 1
+    }
+    math.round(h / math.log(2.0) * 1000.0)
+  }
+
+  /** ??? — STUB decode. A real build replaces this with an image/audio
+    * codec; everything feeding it (binary column, typed row, partition
+    * batching) and everything consuming it (schema, downstream aggs) is
+    * the real production plumbing. The fake is a pure function of the
+    * payload hash so tests are deterministic.
+    */
+  def stubDecode(b: Array[Byte]): (Int, Int, Boolean) = {
+    if (b == null || b.isEmpty) (0, 0, false)
+    else {
+      val h = XxHash.hashBytes(b, 42L)
+      val w = 16 + (math.abs(h % 2048)).toInt
+      val ht = 16 + (math.abs((h >> 24) % 2048)).toInt
+      (w, ht, true)
+    }
+  }
+
+  def metaOf(p: Page): MediaMeta = {
+    val b = if (p.html == null) Array.emptyByteArray else p.html
+    val (w, h, ok) = stubDecode(b)
+    MediaMeta(p.url, sniffType(b), b.length.toLong,
+      XxHash.hashBytes(b, 42L), entropyMillibits(b), w, h, ok)
+  }
+
+  /** Per-payload metadata extraction — narrow typed map, no shuffle. */
+  def mediaMeta(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    PageSynth.pages(s, dir).map(metaOf)
+  }
+
+  /** Triage rollup: corpus composition by media type (the query a crawl
+    * operator runs before scheduling decode budgets).
+    */
+  def mediaTriage(s: SparkSession, dir: String): DataFrame =
+    mediaMeta(s, dir).toDF()
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        round(avg(col("entropy_m")) / 1000.0, 2).as("avg_entropy_bits"),
+        countDistinct(col("content_hash")).as("n_distinct_payloads"))
+      .orderBy(col("media_type"))
+}

