@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput-batch profile: the extract kernel allocates heavily
+  // (strings/tokens); ParallelGC beats G1 here at 32 threads
+  "-XX:+UseParallelGC",
 )

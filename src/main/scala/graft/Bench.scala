@@ -1,24 +1,146 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.ExtractJob
+import graft.sources.PageSynth
+
+/** Benchmark main — prints ONE JSON line for the driver
+  * (BENCH_r{N}.json) and doubles as the scaling-evidence harness the
+  * north rule requires: the flagship extraction job runs at two
+  * parallelism levels (local[N] and local[4N]) on the SAME materialized
+  * input, and the line carries docs/sec at both plus the scaling
+  * efficiency. (No real cluster in this sandbox — two local parallelism
+  * levels are the sanctioned proxy for N vs 4N executors.)
+  *
+  * The input is inflated to Common-Crawl-like page sizes (the testdata
+  * docs are ~1 KB; real pages are tens of KB) and replicated so the
+  * kernel time dominates fixed scheduling overhead — otherwise the
+  * scaling number measures Spark's constant costs, not the pipeline.
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_SF_DIR  input scale dir   (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS    high level        (default 32; low level = /4)
+  *   SPARK_GRAFT_REPL    input replication (default 32 → 32×docs pages)
+  *   SPARK_GRAFT_INFLATE text inflation    (default 8 → ~10 KB pages)
+  *   SPARK_GRAFT_SCALING "0" to skip the low-parallelism pass
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Force full materialization of every row (count alone could skip
+    * column decode; hashing text defeats lazy short-circuits).
+    */
+  private def consume(df: DataFrame): Long =
+    df.select(xxhash64(col("url"), col("text")).as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0).getLong(0)
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val hi = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lo = sys.env.getOrElse("SPARK_GRAFT_CPUS_LO", "").toIntOption
+      .getOrElse(math.max(1, hi / 4))
+    val repl = sys.env.getOrElse("SPARK_GRAFT_REPL", "32").toInt
+    val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "8").toInt
+    val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
+
+    // ---- materialize the replicated pages input once (not timed) ----
+    val base = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val pagesDir = s"$base/pages"
+    val prep = session(hi)
+    locally {
+      import prep.implicits._
+      val docs = PageSynth.docs(prep, sfDir)
+      val replicated = docs.flatMap { d =>
+        val bigText = if (inflate <= 1) d.text
+          else Array.fill(inflate)(d.text).mkString(" ")
+        (0 until repl).iterator.map(r =>
+          d.copy(doc_id = d.doc_id * repl + r, text = bigText))
+      }
+      replicated.map(PageSynth.pageFor)
+        .repartition(hi * 4)
+        .write.mode("overwrite").parquet(pagesDir)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val nDocs = prep.read.parquet(pagesDir).count()
+    prep.stop()
+
+    def extractRun(s: SparkSession): Long = {
+      import s.implicits._
+      val pages = s.read.parquet(pagesDir).as[graft.model.Page]
+      consume(ExtractJob.extract(s, pages, buckets = 256).toDF())
+    }
+
+    // The sandbox host has bursty external load; each timing is
+    // best-of-N so one interference spike doesn't define the number.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    def bestOf(f: => Long): Double =
+      (1 to reps).map(_ => timed(f)._2).min
+
+    // ---- scaling pass: same job, quarter parallelism ----
+    val loRate = if (doScaling) {
+      val sLo = session(lo)
+      extractRun(sLo) // warmup (JIT) — untimed
+      val tLo = bestOf(extractRun(sLo))
+      sLo.stop()
+      nDocs / tLo
+    } else 0.0
+
+    // ---- headline pass at full parallelism ----
+    val sHi = session(hi)
+    extractRun(sHi) // warmup
+    val tHi = bestOf(extractRun(sHi))
+    val hiRate = nDocs / tHi
+
+    // ---- secondary operator timings (at full parallelism) ----
+    val secondary = Seq(
+      "q1_pricing_summary", "q3_top_revenue", "q_window_topk",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "ann_bruteforce", "ann_lsh", "text_stats", "text_quality")
+    val queryTimes = secondary.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, t) = timed {
+        val df = fn(sHi, sfDir)
+        df.agg(count(lit(1))).collect()
+      }
+      name -> t
+    }
+    sHi.stop()
+
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rmrf))
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(base))
+
+    val eff = if (doScaling && loRate > 0) (hiRate / loRate) / (hi.toDouble / lo) else -1.0
+    val qs = (Seq("extract" -> tHi) ++ queryTimes)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = tHi + queryTimes.map(_._2).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""extract_docs":$nDocs,"extract_docs_per_sec":${f"$hiRate%.1f"},""" +
+        s""""extract_docs_per_sec_per_core":${f"${hiRate / hi}%.1f"},""" +
+        s""""cores_hi":$hi,"cores_lo":$lo,""" +
+        s""""extract_docs_per_sec_lo":${f"$loRate%.1f"},""" +
+        s""""scaling_efficiency":${f"$eff%.3f"}}""")
   }
 }

@@ -2,6 +2,27 @@ package graft.kernel
 
 import scala.collection.mutable.ArrayBuffer
 
+/** Growable primitive int buffer — ArrayBuffer[Int] boxes every element
+  * (measured as the kernel's top allocation source at 32 threads), this
+  * doesn't.
+  */
+final class IntBuf(initial: Int = 64) {
+  private var arr = new Array[Int](initial)
+  private var len = 0
+  def length: Int = len
+  def apply(i: Int): Int = arr(i)
+  def update(i: Int, v: Int): Unit = arr(i) = v
+  def +=(v: Int): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, len * 2)
+    arr(len) = v
+    len += 1
+  }
+  def last: Int = arr(len - 1)
+  /** drop elements from the end until length == newLen (stack pop) */
+  def trim(newLen: Int): Unit = len = newLen
+  def clear(): Unit = len = 0
+}
+
 /** Lightweight DOM arena: a flat node array with parent / firstChild /
   * nextSibling indices (no object graph, cache-friendly, zero GC churn
   * per node beyond the backing buffers).
@@ -15,21 +36,26 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Node 0 is a synthetic #root element.
   */
-final class DomArena private () {
+final class DomArena private[kernel] () {
   // parallel arrays — one entry per node
   val tag = new ArrayBuffer[String](64)        // "#text" for text nodes
   val classId = new ArrayBuffer[String](64)    // "" for text nodes
-  val parent = new ArrayBuffer[Int](64)
-  val firstChild = new ArrayBuffer[Int](64)
-  val nextSibling = new ArrayBuffer[Int](64)
+  val parent = new IntBuf(64)
+  val firstChild = new IntBuf(64)
+  val nextSibling = new IntBuf(64)
   val text = new ArrayBuffer[String](64)       // null for elements
 
-  private val lastChild = new ArrayBuffer[Int](64)
+  private val lastChild = new IntBuf(64)
 
   def size: Int = tag.length
   def isText(i: Int): Boolean = tag(i) == "#text"
 
-  private def addNode(t: String, cls: String, p: Int, txt: String): Int = {
+  private[kernel] def reset(): Unit = {
+    tag.clear(); classId.clear(); text.clear()
+    parent.clear(); firstChild.clear(); nextSibling.clear(); lastChild.clear()
+  }
+
+  private[kernel] def addNode(t: String, cls: String, p: Int, txt: String): Int = {
     val id = tag.length
     tag += t; classId += cls; parent += p
     firstChild += -1; nextSibling += -1; lastChild += -1; text += txt
@@ -57,11 +83,16 @@ object DomArena {
     "dd" -> Set("dd", "dt"), "dt" -> Set("dd", "dt")
   )
 
-  def build(html: String): DomArena = {
-    val arena = new DomArena()
+  def build(html: String): DomArena = buildInto(new DomArena(), html)
+
+  /** Reusable-arena variant: one arena per partition amortizes buffer
+    * growth across documents (the kernel's mapPartitions path).
+    */
+  def buildInto(arena: DomArena, html: String): DomArena = {
+    arena.reset()
     val root = arena.addNode("#root", "", -1, null)
     var cur = root
-    val open = new ArrayBuffer[Int](16) // stack of open element node ids
+    val open = new IntBuf(16) // stack of open element node ids
     open += root
 
     val toks = HtmlTokenizer.tokenize(html)
@@ -74,9 +105,8 @@ object DomArena {
           impliedClose.get(name).foreach { closers =>
             // close the innermost open element of the same group, if any,
             // but never across a structural boundary deeper in the stack
-            val top = open.last
-            if (open.length > 1 && closers.contains(arena.tag(top))) {
-              open.remove(open.length - 1)
+            if (open.length > 1 && closers.contains(arena.tag(open.last))) {
+              open.trim(open.length - 1)
               cur = open.last
             }
           }
@@ -90,7 +120,7 @@ object DomArena {
           var k = open.length - 1
           while (k > 0 && arena.tag(open(k)) != name) k -= 1
           if (k > 0) {
-            while (open.length > k) open.remove(open.length - 1)
+            open.trim(k)
             cur = open.last
           }
       }

@@ -1,6 +1,6 @@
 package graft.kernel
 
-import graft.model.{Extracted, Page, Span}
+import graft.model.{Extracted, Page, PageRaw, Span}
 import org.apache.spark.TaskContext
 
 /** The per-document extract kernel: pure Scala, runs inside
@@ -71,23 +71,31 @@ object ExtractKernel {
   final case class Profile(engine: String, outputFormat: String = "plain_text")
   val Standard: Profile = Profile("standard")
 
-  def extractOne(p: Page, bucket: Int, profile: Profile = Standard): Extracted = {
+  def extractOne(p: Page, bucket: Int, profile: Profile = Standard,
+      arena: DomArena = null): Extracted =
+    extractRaw(PageRaw(p.url, p.html), bucket, profile, arena)
+
+  def extractRaw(p: PageRaw, bucket: Int, profile: Profile = Standard,
+      arena: DomArena = null): Extracted = {
     val b = stripBom(if (p.html == null) Array.emptyByteArray else p.html)
     if (b.isEmpty)
       Extracted(p.url, Failed, "", Seq.empty, MergeSpec.EmptyFile, 0, 0, profile.engine, bucket)
     else if (b.length > MergeSpec.MaxContentLength)
       Extracted(p.url, Failed, "", Seq.empty, MergeSpec.FileTooLarge, 0, 0, profile.engine, bucket)
     else if (isPdf(b)) extractPdf(p, b, bucket, profile)
-    else if (looksHtml(b)) extractHtml(p, b, bucket, profile)
+    else if (looksHtml(b)) extractHtml(p, b, bucket, profile, arena)
     else
       Extracted(p.url, Failed, "", Seq.empty,
         MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
   }
 
-  private def extractHtml(p: Page, b: Array[Byte], bucket: Int, profile: Profile): Extracted = {
+  private def extractHtml(p: PageRaw, b: Array[Byte], bucket: Int, profile: Profile,
+      arena: DomArena): Extracted = {
     try {
       val html = new String(b, "UTF-8")
-      val res = MainContent.extract(html)
+      val res =
+        if (arena == null) MainContent.extract(html)
+        else MainContent.extract(html, arena)
       val text = serialize(res, profile)
       Extracted(p.url, Completed, text, res.spans, "", 1, 0, profile.engine, bucket)
     } catch {
@@ -102,7 +110,7 @@ object ExtractKernel {
     }
   }
 
-  private def extractPdf(p: Page, b: Array[Byte], bucket: Int, profile: Profile): Extracted = {
+  private def extractPdf(p: PageRaw, b: Array[Byte], bucket: Int, profile: Profile): Extracted = {
     val pagesE =
       try PdfParser.parse(b)
       catch {
@@ -174,13 +182,14 @@ object ExtractKernel {
     * the reference checks its in-memory cancel set between pages,
     * ocr_service.py:35-45; Spark's unit of cooperative cancel is the task).
     */
-  def run(bucketOf: Page => Int, profile: Profile = Standard)(
-      it: Iterator[Page]): Iterator[Extracted] = {
+  def run(bucketOf: PageRaw => Int, profile: Profile = Standard)(
+      it: Iterator[PageRaw]): Iterator[Extracted] = {
     val ctx = TaskContext.get()
+    val arena = new DomArena() // reused across the partition's documents
     it.map { p =>
       if (ctx != null && ctx.isInterrupted())
         throw new org.apache.spark.TaskKilledException()
-      extractOne(p, bucketOf(p), profile)
+      extractRaw(p, bucketOf(p), profile, arena)
     }
   }
 }

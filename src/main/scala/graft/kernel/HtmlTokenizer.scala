@@ -25,6 +25,61 @@ object HtmlTokenizer {
 
   private val rawTextTags = Set("script", "style", "textarea", "title", "noscript")
 
+  /** Known tag names grouped by first letter — tag-name extraction interns
+    * against these without allocating (substring+toLowerCase per tag was a
+    * top kernel allocation at 32 threads).
+    */
+  private val internByFirst: Array[Array[String]] = {
+    val names = Array(
+      "a", "abbr", "article", "aside", "audio", "b", "bdi", "bdo", "big",
+      "blockquote", "body", "br", "button", "canvas", "caption", "cite",
+      "code", "col", "colgroup", "data", "dd", "del", "dfn", "div", "dl",
+      "dt", "em", "embed", "fieldset", "figcaption", "figure", "font",
+      "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head",
+      "header", "hr", "html", "i", "iframe", "img", "input", "ins", "kbd",
+      "label", "legend", "li", "link", "main", "mark", "menu", "meta",
+      "nav", "noscript", "object", "ol", "option", "p", "param", "pre",
+      "q", "rp", "rt", "ruby", "s", "samp", "script", "section", "select",
+      "small", "source", "span", "strong", "style", "sub", "sup", "svg",
+      "table", "tbody", "td", "template", "textarea", "tfoot", "th",
+      "thead", "time", "title", "tr", "track", "tt", "u", "ul", "var",
+      "video", "wbr")
+    val out = Array.fill(26)(Array.empty[String])
+    names.groupBy(_.charAt(0) - 'a').foreach { case (b, ns) => out(b) = ns }
+    out
+  }
+
+  private def lowerRegionEquals(html: String, s: Int, e: Int, t: String): Boolean = {
+    if (e - s != t.length) return false
+    var k = 0
+    while (k < t.length) {
+      val c = html.charAt(s + k)
+      val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      if (lc != t.charAt(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** lower-cased tag name for html[s, e) — interned (zero-alloc) for every
+    * standard HTML element, allocates only for unknown names.
+    */
+  private def tagName(html: String, s: Int, e: Int): String = {
+    if (e > s) {
+      val c0 = html.charAt(s)
+      val lc0 = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (lc0 >= 'a' && lc0 <= 'z') {
+        val cands = internByFirst(lc0 - 'a')
+        var ci = 0
+        while (ci < cands.length) {
+          if (lowerRegionEquals(html, s, e, cands(ci))) return cands(ci)
+          ci += 1
+        }
+      }
+    }
+    html.substring(s, e).toLowerCase
+  }
+
   def tokenize(html: String): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
     val n = html.length
@@ -99,7 +154,9 @@ object HtmlTokenizer {
         else if (isNameStart(c)) {
           val a0 = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val aname = html.substring(a0, j).toLowerCase
+          // only class/id attributes matter — compare in place, no substring
+          val wanted = lowerRegionEquals(html, a0, j, "class") ||
+            lowerRegionEquals(html, a0, j, "id")
           while (j < n && html.charAt(j).isWhitespace) j += 1
           var value = ""
           if (j < n && html.charAt(j) == '=') {
@@ -109,15 +166,15 @@ object HtmlTokenizer {
               val q = html.charAt(j); j += 1
               val v0 = j
               while (j < n && html.charAt(j) != q) j += 1
-              value = html.substring(v0, j)
+              if (wanted) value = html.substring(v0, j)
               if (j < n) j += 1
             } else {
               val v0 = j
               while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
-              value = html.substring(v0, j)
+              if (wanted) value = html.substring(v0, j)
             }
           }
-          if (aname == "class" || aname == "id")
+          if (wanted)
             classId = if (classId.isEmpty) value.toLowerCase
                       else classId + " " + value.toLowerCase
         } else j += 1
@@ -147,7 +204,7 @@ object HtmlTokenizer {
             flushText()
             val t0 = j
             while (j < n && isNameChar(html.charAt(j))) j += 1
-            val name = html.substring(t0, j).toLowerCase
+            val name = tagName(html, t0, j)
             while (j < n && html.charAt(j) != '>') j += 1
             out += EndTag(name)
             i = if (j < n) j + 1 else j
@@ -157,7 +214,7 @@ object HtmlTokenizer {
           var j = i + 1
           val t0 = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(t0, j).toLowerCase
+          val name = tagName(html, t0, j)
           val (classId, self, next) = attrs(j)
           out += StartTag(name, classId, self)
           i = next

@@ -77,10 +77,33 @@ object MainContent {
     sb.toString
   }
 
+  /** `normalize(s).length` without allocating the string (hot path:
+    * link-density counting runs once per text node).
+    */
+  private def normLen(s: String): Int = {
+    var i = 0
+    var len = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '\u00a0') pendingSpace = true
+      else {
+        if (pendingSpace && len > 0) len += 1
+        pendingSpace = false
+        len += 1
+      }
+      i += 1
+    }
+    len
+  }
+
   final case class Result(text: String, spans: Seq[Span])
 
-  def extract(html: String): Result = {
-    val arena = DomArena.build(html)
+  def extract(html: String): Result = extract(html, new DomArena())
+
+  /** Reusable-arena variant (one arena per partition in the kernel). */
+  def extract(html: String, reuse: DomArena): Result = {
+    val arena = DomArena.buildInto(reuse, html)
     val n = arena.size
     // inherited per-node flags; node order == document (pre)order
     val pruned = new Array[Boolean](n)
@@ -99,46 +122,71 @@ object MainContent {
       i += 1
     }
 
-    // segment text nodes by nearest block ancestor (document order)
-    final case class Seg(block: Int, raw: java.lang.StringBuilder,
-                         var linkChars: Int, var totalChars: Int)
-    val segs = new ArrayBuffer[Seg](16)
-    var cur: Seg = null
+    // Segment text nodes by nearest block ancestor (document order), then
+    // stream selected segments straight into the output builder — the
+    // text bytes are copied exactly once (token string → outText) instead
+    // of token → seg buffer → normalized copy → outText. Semantics are
+    // identical to normalize(concat of segment texts): the pendingSpace
+    // state carries across node boundaries, leading/trailing whitespace
+    // of a segment never emits.
+    val outText = new java.lang.StringBuilder(256)
+    val spans = new ArrayBuffer[Span](16)
     i = 0
     while (i < n) {
       if (arena.isText(i) && !pruned(i)) {
         val blk = nearestBlock(i)
-        if (cur == null || cur.block != blk) {
-          cur = Seg(blk, new java.lang.StringBuilder(64), 0, 0)
-          segs += cur
+        // find the segment: run of visible text nodes with this block
+        var end = i // exclusive end, advanced below
+        var totalChars = 0
+        var linkChars = 0
+        var j = i
+        var done = false
+        while (j < n && !done) {
+          if (arena.isText(j) && !pruned(j)) {
+            if (nearestBlock(j) != blk) done = true
+            else {
+              val nl = normLen(arena.text(j))
+              if (nl > 0) {
+                totalChars += nl
+                if (inLink(j)) linkChars += nl
+              }
+              end = j + 1
+            }
+          }
+          if (!done) j += 1
         }
-        val norm = normalize(arena.text(i))
-        if (norm.nonEmpty) {
-          cur.totalChars += norm.length
-          if (inLink(i)) cur.linkChars += norm.length
+        if (totalChars > 0) { // normalize(concat) nonempty ⟺ some node visible
+          val kind = arena.tag(blk)
+          val heading = headingTags.contains(kind)
+          val density = linkChars.toDouble / totalChars
+          if (heading || density <= MaxLinkDensity) {
+            if (outText.length() > 0) outText.append("\n\n")
+            val start = outText.length().toLong
+            val segStart = outText.length()
+            var pendingSpace = false
+            var k = i
+            while (k < end) {
+              if (arena.isText(k) && !pruned(k)) {
+                val s = arena.text(k)
+                var ci = 0
+                while (ci < s.length) {
+                  val c = s.charAt(ci)
+                  if (Character.isWhitespace(c) || c == '\u00a0') pendingSpace = true
+                  else {
+                    if (pendingSpace && outText.length() > segStart) outText.append(' ')
+                    pendingSpace = false
+                    outText.append(c)
+                  }
+                  ci += 1
+                }
+              }
+              k += 1
+            }
+            spans += Span(start, outText.length().toLong, kind)
+          }
         }
-        cur.raw.append(arena.text(i))
-      }
-      i += 1
-    }
-
-    // select + assemble
-    val outText = new java.lang.StringBuilder(256)
-    val spans = new ArrayBuffer[Span](segs.length)
-    segs.foreach { s =>
-      val t = normalize(s.raw.toString)
-      if (t.nonEmpty) {
-        val kind = arena.tag(s.block)
-        val heading = headingTags.contains(kind)
-        val density =
-          if (s.totalChars == 0) 0.0 else s.linkChars.toDouble / s.totalChars
-        if (heading || density <= MaxLinkDensity) {
-          if (outText.length() > 0) outText.append("\n\n")
-          val start = outText.length().toLong
-          outText.append(t)
-          spans += Span(start, outText.length().toLong, kind)
-        }
-      }
+        i = end
+      } else i += 1
     }
     Result(outText.toString, spans.toSeq)
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.kernel.ExtractKernel
-import graft.model.{Extracted, Page, PartitionLineage}
+import graft.model.{Extracted, Page, PageRaw, PartitionLineage}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,8 +37,15 @@ object ExtractJob {
   def bucketCol(buckets: Int) =
     pmod(xxhash64(col("url")), lit(buckets.toLong)).cast("int")
 
-  /** pages → extracted. One shuffle (repartition on bucket), then the
-    * kernel runs as a narrow typed mapPartitions.
+  /** pages → extracted. Deliberately shuffle-free: the kernel is a narrow
+    * typed mapPartitions directly over the scan partitions, so the raw
+    * payload bytes (the dominant data volume — at 100 TB, ~all of it)
+    * NEVER cross the wire. Bucket grouping happens after extraction, on
+    * the much smaller extracted text, inside `writeExtracted`.
+    *
+    * (v1 repartitioned pages on bucket before the kernel; benchmarking
+    * showed the payload shuffle, not the kernel, capped throughput — the
+    * fix is the classic "push work below the exchange" move.)
     */
   def extract(
       spark: SparkSession,
@@ -49,12 +56,17 @@ object ExtractJob {
     val b = buckets
     val prof = profile
     pages
-      .repartition(math.min(b, spark.sparkContext.defaultParallelism * 4), bucketCol(b))
+      // project to the two kernel columns BEFORE the typed boundary:
+      // Parquet column pruning then skips warc_ts/text/lang at the scan
+      // (.explain shows ReadSchema: struct<url,html> — at 100 TB the
+      // unread text column alone is a ~40% scan saving)
+      .select(col("url"), col("html"))
+      .as[PageRaw]
       .mapPartitions { it =>
         // kernel-side bucket MUST equal bucketCol: pmod(xxhash64(url), B).
         // XxHash.hashUtf8 reimplements Spark's xxhash64 (seed 42, UTF-8
-        // bytes); equality is asserted in BucketSpec.
-        val bucketOf = (p: Page) =>
+        // bytes); equality is asserted in OperatorsSpec.
+        val bucketOf = (p: PageRaw) =>
           java.lang.Math.floorMod(XxHash.hashUtf8(p.url), b.toLong).toInt
         ExtractKernel.run(bucketOf, prof)(it)
       }
@@ -106,9 +118,17 @@ object ExtractJob {
   /** Write extracted partitioned by bucket with dynamic partition
     * overwrite: re-running any subset of buckets replaces exactly those
     * partitions (the INSERT OR REPLACE analogue, task.py:52-55).
+    *
+    * The only shuffle of the whole pipeline happens here, on EXTRACTED
+    * rows (typically 5-20% of the raw payload bytes): repartitioning on
+    * the bucket column co-locates each output partition in one task so
+    * the writer emits one file per bucket instead of tasks×buckets
+    * fragments — at 100 TB, file-count control is what keeps the output
+    * table listable.
     */
   def writeExtracted(extracted: Dataset[Extracted], outDir: String): Unit = {
     extracted.toDF()
+      .repartition(col("bucket"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

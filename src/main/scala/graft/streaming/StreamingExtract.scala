@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.kernel.ExtractKernel
-import graft.model.{Extracted, Page}
+import graft.model.{Extracted, Page, PageRaw}
 import graft.operators.XxHash
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,10 +32,13 @@ object StreamingExtract {
     import spark.implicits._
     val reader = spark.readStream.schema(Encoders.product[Page].schema)
     val withOpt = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val pages = withOpt.parquet(pagesDir).as[Page]
+    val pages = withOpt.parquet(pagesDir)
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("html"))
+      .as[PageRaw] // column pruning: the stream scan reads url+html only
     val b = buckets
     pages.mapPartitions { it =>
-      val bucketOf = (p: Page) =>
+      val bucketOf = (p: PageRaw) =>
         java.lang.Math.floorMod(XxHash.hashUtf8(p.url), b.toLong).toInt
       ExtractKernel.run(bucketOf)(it)
     }
