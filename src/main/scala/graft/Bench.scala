@@ -29,13 +29,12 @@ import graft.sources.PageSynth
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.operators.GraftConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -98,12 +98,11 @@ object ExtractRunner {
     val outRoot = args(1)
     val buckets = if (args.length > 2) args(2).toInt else ExtractJob.DefaultBuckets
     val engine = if (args.length > 3) args(3) else "standard"
-    val spark = SparkSession.builder()
+    val spark = GraftConf(SparkSession.builder()
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic"))
       .getOrCreate()
     val report = run(spark, pagesDir, outRoot, buckets,
       ExtractKernel.Profile(engine))

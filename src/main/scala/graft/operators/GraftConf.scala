@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's cluster configuration profile — every knob here exists to
+  * survive the 100 TB / 1000-executor case (north rule: "AQE-tuned
+  * shuffle sizing", skew handling) and is harmless at local scale.
+  */
+object GraftConf {
+
+  def apply(b: SparkSession.Builder): SparkSession.Builder = b
+    // AQE: runtime re-planning — coalesce undersized shuffle partitions,
+    // split skewed ones, and re-size joins from observed statistics.
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // ~128 MB post-shuffle partitions: big enough to amortize task
+    // startup, small enough to fit executor memory with the extract
+    // kernel's ~10-20× per-byte amplification.
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "134217728")
+    // scan splits: pages average ~10-100 KB payload, so 128 MB splits
+    // hold ~1k-10k docs — enough rows per task for the per-partition
+    // arena reuse to pay off, few enough that a task retry is cheap.
+    .config("spark.sql.files.maxPartitionBytes", "134217728")
+    // zstd for the extracted/lineage outputs: ~30% smaller than snappy
+    // on extracted text at similar decode speed (matters when the
+    // OUTPUT table is petabytes).
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    // transient-failure budget per task (the reference's retry ladder at
+    // task granularity, ocr_task.py:13; per-ROW failures are data, not
+    // task failures — the kernel catches them).
+    .config("spark.task.maxFailures", "4")
+    // stragglers: re-launch slow tasks (the reference's 1800 s celery
+    // time ceiling analogue is cluster-level speculation, not a kill).
+    .config("spark.speculation", "true")
+}

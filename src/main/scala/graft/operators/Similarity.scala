@@ -106,6 +106,67 @@ object Similarity {
   /** Embedding dimensionality (schema knowledge of the testdata corpus). */
   val Dims = 64
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path
+  // ------------------------------------------------------------------
+
+  /** Number of IVF cells (coarse quantizer size). */
+  val IvfCells = 16
+  /** Cells probed per query (nearest-centroid list). */
+  val IvfProbes = 4
+
+  /** Deterministic coarse quantizer: the centroid of cell c is the
+    * corpus vector with vec_id == c·(maxId/cells) — a fixed sample in
+    * lieu of k-means (no RNG, reproducible across runs; a trained
+    * codebook is a drop-in replacement). Returns (cellId, centroid).
+    */
+  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    import s.implicits._
+    val e = Relational.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val n = e.agg(max(col("vec_id"))).as[Long].collect()(0) + 1
+    val stride = math.max(1L, n / IvfCells)
+    val wanted = (0 until IvfCells).map(c => c * stride).toSet
+    e.filter(col("vec_id").isin(wanted.toSeq: _*))
+      .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, v), c) => (c, v.toArray) }
+  }
+
+  private def nearestCells(v: Seq[Double], cents: Array[(Int, Array[Double])], k: Int): Seq[Int] =
+    cents.map { case (c, cv) =>
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      (c, d)
+    }.sortBy(_._2).take(k).map(_._1).toSeq
+
+  /** IVF top-k: corpus assigned to its nearest cell once (at scale: a
+    * materialized index table partitioned by cell), queries probe their
+    * IvfProbes nearest cells and rank candidates exactly. The centroid
+    * table is tiny and driver-resident (broadcast via closure) — the
+    * corpus-side assignment is a narrow map, no shuffle.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentroids(s, dir)
+    val (q, e) = queriesAndCorpus(s, dir)
+    val cellOf = udf((v: Seq[Double]) => nearestCells(v, cents, 1).head)
+    val probesOf = udf((v: Seq[Double]) => nearestCells(v, cents, IvfProbes))
+    val corpus = e.withColumn("cell", cellOf(col("e")))
+    val probes = q.withColumn("cell", explode(probesOf(col("qe"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Approximate top-k via (k=8 bits, L=8 tables) random-hyperplane LSH
     * with 1-bit multi-probe on the query side.
     *

@@ -19,8 +19,17 @@ object TextAnalysis {
   // Token / quality statistics (oracle-checked)
   // ------------------------------------------------------------------
 
+  /** GPT-2-style pre-tokenizer pattern (simplified, lookahead-free so it
+    * runs identically under java.util.regex and RE2): contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs. The match
+    * count is the "BPE-ish" token estimate every training-mix budget uses.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
   /** Per-document token statistics: char count, whitespace-token count,
-    * alnum-token count, punctuation count, average token length.
+    * alnum-token count, BPE-ish token count, punctuation count, average
+    * token length.
     */
   def textStats(s: SparkSession, dir: String): DataFrame =
     Relational.table(s, dir, "documents")
@@ -29,6 +38,7 @@ object TextAnalysis {
         length(col("text")).as("n_chars"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_alnum_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"),
         round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
           greatest(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))), lit(1)), 3)
@@ -39,6 +49,7 @@ object TextAnalysis {
     """SELECT doc_id, length(text) AS n_chars,
       | len(regexp_extract_all(text, '\S+')) AS n_tokens,
       | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
+      | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
       | length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
       | round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) /
       |   greatest(len(regexp_extract_all(text, '\S+')), 1), 3) AS avg_token_len

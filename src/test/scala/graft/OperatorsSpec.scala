@@ -153,6 +153,16 @@ class OperatorsSpec extends AnyFunSuite {
     val avgRecall = recalls.sum / recalls.size
     info(s"ann_lsh recall@5 = $avgRecall over ${bf.size} queries")
     assert(avgRecall >= 0.2, s"recall too low: $avgRecall")
+
+    val ivf = Similarity.annIvf(spark, sf0001)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfRecalls = bf.map { case (q, n) =>
+      ivf.getOrElse(q, Set.empty).intersect(n).size.toDouble / n.size
+    }
+    val ivfRecall = ivfRecalls.sum / ivfRecalls.size
+    info(s"ann_ivf recall@5 = $ivfRecall over ${bf.size} queries")
+    assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
   }
 
   // ---- language id ----

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time semantics over the events-stream shape (SURVEY.md Table C
+  * "Streaming"): windowed aggregation with a watermark, late-data drop,
+  * append-mode finalization. The reference has no streaming semantics at
+  * all (celery gives async, not event time) — this is engine capability
+  * beyond it, demonstrated on the same (ts, event_type) shape as the
+  * `events` table.
+  */
+class WatermarkSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def ts(minutes: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1735689600000L + minutes * 60000L)
+
+  test("windowed count with watermark: late event for a finalized window is dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val windowed = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("wstart"), col("k"), col("n"))
+    val q = windowed.writeStream
+      .format("memory").queryName("wm_spec").outputMode("append").start()
+    try {
+      input.addData(ts(2) -> "a", ts(3) -> "a") // window [0,10), k=a
+      q.processAllAvailable()
+      // advance event time to minute 25 → watermark 15 → [0,10) finalizes
+      input.addData(ts(25) -> "b")
+      q.processAllAvailable()
+      // LATE: minute 4 is behind the watermark — must be dropped
+      input.addData(ts(4) -> "a")
+      q.processAllAvailable()
+      // advance far enough to finalize [20,30) too
+      input.addData(ts(55) -> "c")
+      q.processAllAvailable()
+
+      val rows = spark.table("wm_spec")
+        .as[(java.sql.Timestamp, String, Long)].collect()
+        .map { case (w, k, n) => (w.getTime, k, n) }.toSet
+      assert(rows.contains((ts(0).getTime, "a", 2L)),
+        s"window [0,10) must finalize with exactly the 2 on-time events, got $rows")
+      assert(!rows.exists { case (w, k, n) => w == ts(0).getTime && k == "a" && n != 2L },
+        s"late event leaked into a finalized window: $rows")
+      assert(rows.contains((ts(20).getTime, "b", 1L)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState: per-key state persists across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val counted = input.toDS()
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[String], st: GroupState[Long]) =>
+          val total = st.getOption.getOrElse(0L) + it.size
+          st.update(total)
+          (k, total)
+      }
+    val q = counted.toDF("k", "n").writeStream
+      .format("memory").queryName("state_spec").outputMode("update").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "c")
+      q.processAllAvailable()
+      val latest = spark.table("state_spec").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(latest == Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+        s"state must accumulate across batches: $latest")
+    } finally q.stop()
+  }
+}
