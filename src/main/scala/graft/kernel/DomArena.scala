@@ -88,14 +88,22 @@ object DomArena {
   /** Reusable-arena variant: one arena per partition amortizes buffer
     * growth across documents (the kernel's mapPartitions path).
     */
-  def buildInto(arena: DomArena, html: String): DomArena = {
+  def buildInto(arena: DomArena, html: String): DomArena =
+    buildFromTokens(arena, HtmlTokenizer.tokenize(html))
+
+  /** Byte-path variant: tokenize raw UTF-8 without a full-doc decode. */
+  def buildIntoBytes(arena: DomArena, bytes: Array[Byte]): DomArena =
+    buildFromTokens(arena, HtmlTokenizer.tokenizeBytes(bytes))
+
+  def buildFromTokens(
+      arena: DomArena,
+      toks: scala.collection.mutable.ArrayBuffer[HtmlTokenizer.Tok]): DomArena = {
     arena.reset()
     val root = arena.addNode("#root", "", -1, null)
     var cur = root
     val open = new IntBuf(16) // stack of open element node ids
     open += root
 
-    val toks = HtmlTokenizer.tokenize(html)
     var ti = 0
     while (ti < toks.length) {
       toks(ti) match {

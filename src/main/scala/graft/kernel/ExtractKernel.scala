@@ -92,10 +92,8 @@ object ExtractKernel {
   private def extractHtml(p: PageRaw, b: Array[Byte], bucket: Int, profile: Profile,
       arena: DomArena): Extracted = {
     try {
-      val html = new String(b, "UTF-8")
-      val res =
-        if (arena == null) MainContent.extract(html)
-        else MainContent.extract(html, arena)
+      val res = MainContent.extractBytes(b,
+        if (arena == null) new DomArena() else arena)
       val text = serialize(res, profile)
       Extracted(p.url, Completed, text, res.spans, "", 1, 0, profile.engine, bucket)
     } catch {

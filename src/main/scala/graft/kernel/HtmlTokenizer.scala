@@ -258,4 +258,312 @@ object HtmlTokenizer {
     }
     -1
   }
+
+  // ====================================================================
+  // Byte-level tokenizer — identical tokens to
+  // `tokenize(new String(b, UTF_8))`, without ever materializing the
+  // full document as a UTF-16 string. Structural scanning happens on the
+  // raw UTF-8 bytes (all HTML structure is ASCII, and UTF-8 continuation
+  // bytes are ≥ 0x80, so no multi-byte character can alias a structural
+  // byte); only text content is decoded, per run. This halves the
+  // kernel's dominant memory traffic (the full-doc decode) — measured in
+  // BENCH.md. Inputs containing invalid UTF-8 fall back to the string
+  // path so the two tokenizers agree byte-for-byte on EVERY input
+  // (scalacheck-asserted in PropertiesSpec).
+  // ====================================================================
+
+  private val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** strict UTF-8 validity scan (RFC 3629: no surrogates, no overlongs) */
+  def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong lead
+      else if (c < 0xe0) {            // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {          // 3-byte
+        if (i + 2 >= n || (b(i + 1) & 0xc0) != 0x80 || (b(i + 2) & 0xc0) != 0x80) return false
+        val c1 = b(i + 1) & 0xff
+        if (c == 0xe0 && c1 < 0xa0) return false           // overlong
+        if (c == 0xed && c1 >= 0xa0) return false          // surrogate
+        i += 3
+      } else if (c < 0xf5) {          // 4-byte
+        if (i + 3 >= n || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        val c1 = b(i + 1) & 0xff
+        if (c == 0xf0 && c1 < 0x90) return false           // overlong
+        if (c == 0xf4 && c1 >= 0x90) return false          // > U+10FFFF
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** growable byte accumulator for text runs */
+  private final class ByteBuf(initial: Int) {
+    var arr = new Array[Byte](initial)
+    var len = 0
+    def append(b: Array[Byte], from: Int, n: Int): Unit = {
+      if (len + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + n))
+      System.arraycopy(b, from, arr, len, n)
+      len += n
+    }
+    def appendByte(v: Byte): Unit = {
+      if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      arr(len) = v
+      len += 1
+    }
+    def clear(): Unit = len = 0
+  }
+
+  def tokenizeBytes(b: Array[Byte]): ArrayBuffer[Tok] =
+    if (isValidUtf8(b)) tokenizeBytesValid(b)
+    else tokenize(new String(b, UTF8)) // exact-equivalence fallback
+
+  private def tokenizeBytesValid(b: Array[Byte]): ArrayBuffer[Tok] = {
+    val out = new ArrayBuffer[Tok](64)
+    val n = b.length
+    var i = 0
+    val text = new ByteBuf(256)
+
+    def at(k: Int): Int = if (k < n) b(k) & 0xff else -1
+    def flushText(): Unit = {
+      if (text.len > 0) {
+        out += Text(new String(text.arr, 0, text.len, UTF8))
+        text.clear()
+      }
+    }
+    def isNameStart(c: Int): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isNameChar(c: Int): Boolean =
+      isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+    def isWsB(c: Int): Boolean = // Character.isWhitespace for the ASCII range
+      c == ' ' || (c >= 0x09 && c <= 0x0d) || c == 0x1c || c == 0x1d || c == 0x1e || c == 0x1f
+
+    def indexOfByte(target: Int, from: Int): Int = {
+      var k = from
+      while (k < n && (b(k) & 0xff) != target) k += 1
+      if (k < n) k else -1
+    }
+    def indexOfSeq(s: String, from: Int): Int = {
+      val sl = s.length
+      var k = math.max(from, 0)
+      val last = n - sl
+      while (k <= last) {
+        var m = 0
+        while (m < sl && (b(k + m) & 0xff) == s.charAt(m)) m += 1
+        if (m == sl) return k
+        k += 1
+      }
+      -1
+    }
+    def ciIndexOfSeq(s: String, from: Int): Int = {
+      val sl = s.length
+      var k = math.max(from, 0)
+      val last = n - sl
+      while (k <= last) {
+        var m = 0
+        while (m < sl && ((b(k + m) & 0xff) | 0x20) == (s.charAt(m) | 0x20)) m += 1
+        if (m == sl) return k
+        k += 1
+      }
+      -1
+    }
+    def tagNameB(s: Int, e: Int): String = {
+      if (e > s) {
+        val c0 = b(s) & 0xff
+        val lc0 = if (c0 >= 'A' && c0 <= 'Z') c0 + 32 else c0
+        if (lc0 >= 'a' && lc0 <= 'z') {
+          val cands = internByFirst(lc0 - 'a')
+          var ci = 0
+          while (ci < cands.length) {
+            val t = cands(ci)
+            if (e - s == t.length) {
+              var m = 0
+              var ok = true
+              while (ok && m < t.length) {
+                val c = b(s + m) & 0xff
+                val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+                if (lc != t.charAt(m)) ok = false else m += 1
+              }
+              if (ok) return t
+            }
+            ci += 1
+          }
+        }
+      }
+      new String(b, s, e - s, UTF8).toLowerCase
+    }
+    def regionEqCi(s: Int, e: Int, t: String): Boolean = {
+      if (e - s != t.length) return false
+      var m = 0
+      while (m < t.length) {
+        val c = b(s + m) & 0xff
+        val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+        if (lc != t.charAt(m)) return false
+        m += 1
+      }
+      true
+    }
+
+    // decode one entity at b(start) == '&'; appends decoded bytes to text,
+    // returns next index — byte transliteration of `entity`
+    def entityB(start: Int): Int = {
+      var j = start + 1
+      if (at(j) == '#') {
+        j += 1
+        var hex = false
+        if (at(j) == 'x' || at(j) == 'X') { hex = true; j += 1 }
+        var v = 0L
+        val digits0 = j
+        var going = true
+        while (going && j < n && v <= 0x10FFFF) {
+          val c = at(j)
+          val ok =
+            if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+            else c >= '0' && c <= '9'
+          if (ok) {
+            val d = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+            v = v * (if (hex) 16 else 10) + d
+            j += 1
+          } else going = false
+        }
+        if (j == digits0 || v <= 0 || v > 0x10FFFF || (v >= 0xD800 && v <= 0xDFFF)) {
+          text.appendByte('&')
+          start + 1
+        } else {
+          val enc = new String(Character.toChars(v.toInt)).getBytes(UTF8)
+          text.append(enc, 0, enc.length)
+          if (at(j) == ';') j + 1 else j
+        }
+      } else {
+        var k = j
+        while (k < n && k - j < 10 && isNameChar(at(k))) k += 1
+        val semi = at(k) == ';'
+        // case-sensitive exact names, matching the string path's
+        // `name match { case "amp" => ... }` semantics
+        def eq3(x: Char, y: Char, z: Char) =
+          k - j == 3 && b(j) == x && b(j + 1) == y && b(j + 2) == z
+        def eq2(x: Char, y: Char) = k - j == 2 && b(j) == x && b(j + 1) == y
+        def eq4(x: Char, y: Char, z: Char, w: Char) =
+          k - j == 4 && b(j) == x && b(j + 1) == y && b(j + 2) == z && b(j + 3) == w
+        val dec: Array[Byte] =
+          if (eq3('a', 'm', 'p')) Array('&'.toByte)
+          else if (eq2('l', 't')) Array('<'.toByte)
+          else if (eq2('g', 't')) Array('>'.toByte)
+          else if (eq4('q', 'u', 'o', 't')) Array('"'.toByte)
+          else if (eq4('a', 'p', 'o', 's')) Array('\''.toByte)
+          else if (eq4('n', 'b', 's', 'p')) Array(0xc2.toByte, 0xa0.toByte)
+          else null
+        if (dec != null && semi) {
+          text.append(dec, 0, dec.length)
+          k + 1
+        } else {
+          text.appendByte('&')
+          start + 1
+        }
+      }
+    }
+
+    // attributes: returns (classId, selfClosing, nextIndex)
+    def attrsB(from: Int): (String, Boolean, Int) = {
+      var j = from
+      var classId = ""
+      var self = false
+      while (j < n && at(j) != '>') {
+        val c = at(j)
+        if (c == '/') { self = true; j += 1 }
+        else if (isWsB(c)) j += 1
+        else if (isNameStart(c)) {
+          val a0 = j
+          while (j < n && isNameChar(at(j))) j += 1
+          val wanted = regionEqCi(a0, j, "class") || regionEqCi(a0, j, "id")
+          while (j < n && isWsB(at(j))) j += 1
+          var value = ""
+          if (at(j) == '=') {
+            j += 1
+            while (j < n && isWsB(at(j))) j += 1
+            if (at(j) == '"' || at(j) == '\'') {
+              val q = at(j); j += 1
+              val v0 = j
+              while (j < n && at(j) != q) j += 1
+              if (wanted) value = new String(b, v0, j - v0, UTF8)
+              if (j < n) j += 1
+            } else {
+              val v0 = j
+              while (j < n && !isWsB(at(j)) && at(j) != '>') j += 1
+              if (wanted) value = new String(b, v0, j - v0, UTF8)
+            }
+          }
+          if (wanted)
+            classId = if (classId.isEmpty) value.toLowerCase
+                      else classId + " " + value.toLowerCase
+        } else j += 1
+      }
+      (classId, self, if (j < n) j + 1 else j)
+    }
+
+    while (i < n) {
+      val c = at(i)
+      if (c == '<') {
+        if (at(i + 1) == '!') {
+          flushText()
+          if (at(i + 2) == '-' && at(i + 3) == '-') {
+            val end = indexOfSeq("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = indexOfByte('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (at(i + 1) == '?') {
+          flushText()
+          val end = indexOfByte('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (at(i + 1) == '/') {
+          var j = i + 2
+          if (j < n && isNameStart(at(j))) {
+            flushText()
+            val t0 = j
+            while (j < n && isNameChar(at(j))) j += 1
+            val name = tagNameB(t0, j)
+            while (j < n && at(j) != '>') j += 1
+            out += EndTag(name)
+            i = if (j < n) j + 1 else j
+          } else { text.appendByte('<'); i += 1 }
+        } else if (i + 1 < n && isNameStart(at(i + 1))) {
+          flushText()
+          var j = i + 1
+          val t0 = j
+          while (j < n && isNameChar(at(j))) j += 1
+          val name = tagNameB(t0, j)
+          val (classId, self, next) = attrsB(j)
+          out += StartTag(name, classId, self)
+          i = next
+          if (!self && rawTextTags.contains(name)) {
+            val k = ciIndexOfSeq("</" + name, i)
+            val end = if (k < 0) n else k
+            if (end > i) out += Text(new String(b, i, end - i, UTF8))
+            if (k < 0) i = n
+            else {
+              val gt = indexOfByte('>', k)
+              out += EndTag(name)
+              i = if (gt < 0) n else gt + 1
+            }
+          }
+        } else { text.appendByte('<'); i += 1 }
+      } else if (c == '&') {
+        i = entityB(i)
+      } else {
+        text.appendByte(b(i))
+        i += 1
+      }
+    }
+    flushText()
+    out
+  }
 }

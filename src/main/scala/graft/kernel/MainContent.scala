@@ -102,8 +102,16 @@ object MainContent {
   def extract(html: String): Result = extract(html, new DomArena())
 
   /** Reusable-arena variant (one arena per partition in the kernel). */
-  def extract(html: String, reuse: DomArena): Result = {
-    val arena = DomArena.buildInto(reuse, html)
+  def extract(html: String, reuse: DomArena): Result =
+    finish(DomArena.buildInto(reuse, html))
+
+  /** Byte-path variant: no full-document UTF-16 decode (the kernel's hot
+    * path; equivalence with the string path is scalacheck-asserted).
+    */
+  def extractBytes(bytes: Array[Byte], reuse: DomArena): Result =
+    finish(DomArena.buildIntoBytes(reuse, bytes))
+
+  private def finish(arena: DomArena): Result = {
     val n = arena.size
     // inherited per-node flags; node order == document (pre)order
     val pruned = new Array[Boolean](n)

@@ -5,13 +5,13 @@ import graft.model.{Extracted, Page, PageRaw, PartitionLineage}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The flagship pipeline: pages → bucket repartition → extract kernel →
-  * extracted (+ per-bucket lineage, resume anti-join).
+/** The flagship pipeline: pages → extract kernel (narrow, shuffle-free) →
+  * bucket-grouped write (+ per-bucket lineage, resume anti-join).
   *
   * Spark restatement of the reference's upload→celery→worker lifecycle
-  * (SURVEY.md §3.1): the Redis queue + worker pool becomes one shuffle on
-  * a stable url-hash bucket; the SQLite task upsert (task.py:39-58)
-  * becomes idempotent dynamic-partition-overwrite keyed by bucket; the
+  * (SURVEY.md §3.1): the Redis queue + worker pool becomes scan-partition
+  * parallelism; the SQLite task upsert (task.py:39-58) becomes idempotent
+  * dynamic-partition-overwrite keyed by a stable url-hash bucket; the
   * per-task retry ladder (ocr_task.py:13,92) becomes
   * spark.task.maxFailures at task granularity plus per-row error capture
   * at data granularity.
@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB / 10^12 docs):
   *   - bucket = pmod(xxhash64(url), B) is STABLE across runs and cluster
   *     sizes → lineage and resume are cluster-size independent.
-  *   - the only shuffle is the explicit repartition on bucket; the kernel
-  *     is a narrow mapPartitions after it. Filters on the pages scan
-  *     (snapshot pruning, resume anti-join) push down to parquet.
+  *   - the kernel is a narrow mapPartitions over the scan: raw payload
+  *     bytes never shuffle. The pipeline's only exchange moves EXTRACTED
+  *     rows (5-20% of payload), inside writeExtracted. Filters on the
+  *     pages scan (snapshot pruning, resume anti-join) push down to
+  *     parquet; the scan reads only (url, html).
   *   - doc-size skew (a few huge payloads) is bounded by the 10 MB cap
   *     (config.py:15), so per-bucket cost is ~uniform once urls hash
   *     uniformly; host skew only matters for per-host aggregations, where

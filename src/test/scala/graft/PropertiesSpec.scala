@@ -40,6 +40,19 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("tokenizer: byte path ≡ string path on any input (valid or invalid UTF-8)") {
+    check(Prop.forAll(htmlish) { s =>
+      val viaString = HtmlTokenizer.tokenize(s)
+      val viaBytes = HtmlTokenizer.tokenizeBytes(s.getBytes("UTF-8"))
+      viaString == viaBytes
+    })
+    val rawBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check(Prop.forAll(rawBytes) { b =>
+      HtmlTokenizer.tokenizeBytes(b) ==
+        HtmlTokenizer.tokenize(new String(b, "UTF-8"))
+    })
+  }
+
   test("dom arena: parent strictly precedes child; sibling chains acyclic; well-formed for any input") {
     check(Prop.forAll(htmlish) { s =>
       val a = DomArena.build(s)
