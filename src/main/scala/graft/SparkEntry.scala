@@ -102,6 +102,12 @@ object SparkEntry {
         }.reduce(_.unionAll(_)).select("profile", "n_docs", "n_completed", "total_chars")
           .orderBy(col("profile"))
       }),
+      // ---- end-to-end training-corpus pipeline ----
+      "pipeline_corpus" -> ((s, dir) =>
+        graft.operators.CorpusPipeline.corpus(s, dir)
+          .select("url", "is_exact_dup", "is_near_dup", "quality", "lang_pred", "keep")
+          .orderBy(col("url"))),
+      "pipeline_funnel" -> ((s, dir) => graft.operators.CorpusPipeline.funnel(s, dir)),
       // ---- multimodal binary-column plumbing ----
       "mm_media_meta" -> ((s, dir) =>
         Multimodal.mediaMeta(s, dir).toDF()

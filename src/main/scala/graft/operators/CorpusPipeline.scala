@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.PageSynth
+
+/** The end-to-end training-corpus pipeline — what this engine exists to
+  * run at 100 TB: pages → main-content extraction → exact + near dedup →
+  * quality filter → language ID → training-ready corpus.
+  *
+  * Stage order is deliberate (cheapest-reduction-first at scale):
+  *   1. extract           narrow kernel, no shuffle
+  *   2. exact dedup       one shuffle on md5(text) — kills byte-copies
+  *                        before the costlier shingle pass
+  *   3. near dedup        MinHash-LSH candidates verified by Jaccard;
+  *                        keep the lowest url per duplicate cluster
+  *   4. quality filter    C4-style score over extracted text, no shuffle
+  *   5. language ID       kernel heuristic, no shuffle
+  *
+  * `funnel` reports per-stage survivor counts — the number every corpus
+  * job publishes next to its output.
+  */
+object CorpusPipeline {
+
+  val QualityThreshold = 0.5
+
+  private def qualityCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    val stops = size(regexp_extract_all(lower(text),
+      lit("\\b(the|and|of|to|in|is|that|a)\\b"), lit(0)))
+    val punct = length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+    val stopRatio = stops.cast("double") / greatest(toks, lit(1))
+    val punctRatio = punct.cast("double") / greatest(length(text), lit(1))
+    lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) +
+      lit(0.3) * least(toks.cast("double") / 100.0, lit(1.0))
+  }
+
+  /** Extracted docs annotated with every pipeline signal + keep flags. */
+  def corpus(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    import s.implicits._
+    val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets)
+      .toDF()
+      .filter(col("status") === "completed" && length(col("text")) > 0)
+
+    // 2. exact dedup: keep min url per identical text
+    val withHash = extracted.withColumn("h", md5(col("text")))
+    val keepExact = withHash.groupBy(col("h")).agg(min(col("url")).as("keep_url"))
+    val exactKept = withHash
+      .join(keepExact, Seq("h"))
+      .withColumn("is_exact_dup", col("url") =!= col("keep_url"))
+
+    // 3. near dedup on the exact-kept set: LSH candidate pairs verified by
+    //    Jaccard; drop the lexicographically larger url of each pair
+    val docsForLsh = exactKept.filter(!col("is_exact_dup"))
+      .select(col("url"), col("text"))
+    val toks = docsForLsh
+      .select(col("url"), Dedup.tokensCol(col("text")).as("toks"))
+      .select(col("url"), explode(Dedup.shinglesExpr).as("sh"))
+    val bands = toks.groupBy(col("url")).agg(collect_set(col("sh")).as("shs"))
+      .as[(String, Seq[String])]
+      .flatMap { case (u, shingles) =>
+        val sig = Dedup.minhashSignature(shingles)
+        (0 until Dedup.Bands).map(b => (u, b, Dedup.bandHash(sig, b)))
+      }
+      .toDF("url", "band", "bucket_h")
+    val cand = bands.groupBy(col("band"), col("bucket_h"))
+      .agg(sort_array(collect_list(col("url"))).as("us"))
+      .filter(size(col("us")).between(2, 64))
+      .select(explode(expr(
+        "flatten(transform(us, (x, i) -> transform(slice(us, i + 2, size(us)), y -> struct(x AS url_a, y AS url_b))))"))
+        .as("p"))
+      .select(col("p.url_a"), col("p.url_b"))
+      .distinct()
+    val sizes = toks.groupBy(col("url")).agg(count(lit(1)).as("n"))
+    val nearDupUrls = cand
+      .join(toks.as("a"), col("url_a") === col("a.url"))
+      .join(toks.as("b"), col("url_b") === col("b.url") && col("a.sh") === col("b.sh"))
+      .groupBy(col("url_a"), col("url_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("url_a") === col("sa.url"))
+      .join(sizes.as("sb"), col("url_b") === col("sb.url"))
+      .filter(col("inter").cast("double") /
+        (col("sa.n") + col("sb.n") - col("inter")) >= Dedup.JaccardThreshold)
+      .select(col("url_b").as("url")) // keep the smaller url of each pair
+      .distinct()
+
+    // 4+5. quality + language over the survivors
+    import s.implicits._
+    val langOf = (t: String) => TextAnalysis.langIdOf(TextAnalysis.stripMergeChrome(t))
+    val survivors = exactKept
+      .join(nearDupUrls.withColumn("is_near_dup", lit(true)), Seq("url"), "left")
+      .withColumn("is_near_dup", coalesce(col("is_near_dup"), lit(false)))
+      .withColumn("quality", round(qualityCol(col("text")), 3))
+    val withLang = survivors
+      .select(col("url"), col("text"), col("is_exact_dup"), col("is_near_dup"), col("quality"))
+      .as[(String, String, Boolean, Boolean, Double)]
+      .map { case (url, text, ed, nd, q) => (url, text, ed, nd, q, langOf(text)) }
+      .toDF("url", "text", "is_exact_dup", "is_near_dup", "quality", "lang_pred")
+    withLang.withColumn("keep",
+      !col("is_exact_dup") && !col("is_near_dup") && col("quality") >= QualityThreshold)
+  }
+
+  /** Per-stage funnel counts — the pipeline's publishable summary. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).cache()
+    try {
+      val total = c.count()
+      val afterExact = c.filter(!col("is_exact_dup")).count()
+      val afterNear = c.filter(!col("is_exact_dup") && !col("is_near_dup")).count()
+      val kept = c.filter(col("keep")).count()
+      import s.implicits._
+      Seq(
+        ("1_extracted_ok", total),
+        ("2_after_exact_dedup", afterExact),
+        ("3_after_near_dedup", afterNear),
+        ("4_after_quality_filter", kept)
+      ).toDF("stage", "n_docs").orderBy(col("stage"))
+    } finally { c.unpersist(): Unit }
+  }
+}

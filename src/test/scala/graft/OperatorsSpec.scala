@@ -165,6 +165,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
   }
 
+  // ---- end-to-end corpus pipeline ----
+
+  test("pipeline: funnel is monotone; keep flag consistent; survivors unique by text") {
+    import spark.implicits._
+    val c = graft.operators.CorpusPipeline.corpus(spark, sf0001).cache()
+    try {
+      val funnel = graft.operators.CorpusPipeline.funnel(spark, sf0001)
+        .as[(String, Long)].collect().toMap
+      assert(funnel("1_extracted_ok") >= funnel("2_after_exact_dedup"))
+      assert(funnel("2_after_exact_dedup") >= funnel("3_after_near_dedup"))
+      assert(funnel("3_after_near_dedup") >= funnel("4_after_quality_filter"))
+      assert(funnel("4_after_quality_filter") > 0)
+      // natural near-dups exist in the synthetic corpus → stage 3 < stage 2
+      assert(funnel("3_after_near_dedup") < funnel("2_after_exact_dedup"))
+      // kept rows: no dup flags, quality above threshold
+      val bad = c.filter(col("keep") &&
+        (col("is_exact_dup") || col("is_near_dup") ||
+          col("quality") < graft.operators.CorpusPipeline.QualityThreshold)).count()
+      assert(bad == 0)
+      // kept texts are pairwise distinct (exact dedup held)
+      val kept = c.filter(col("keep")).count()
+      val keptDistinct = c.filter(col("keep")).select(md5(col("text"))).distinct().count()
+      assert(kept == keptDistinct)
+    } finally { c.unpersist(): Unit }
+  }
+
+  // ---- salted aggregation equivalence ----
+
+  test("metricsByHost: salted two-phase agg equals naive groupBy") {
+    import spark.implicits._
+    val extracted = ExtractJob.extract(spark, PageSynth.pages(spark, sf0001), 8)
+    val salted = ExtractJob.metricsByHost(extracted)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val naive = extracted.toDF()
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("ok_count"),
+        sum(length(col("text")).cast("long")).as("char_count"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(salted == naive)
+  }
+
   // ---- language id ----
 
   test("langid: script + stopword heuristics on extracted text") {
