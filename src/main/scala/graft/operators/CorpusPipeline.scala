@@ -52,16 +52,15 @@ object CorpusPipeline {
       .withColumn("is_exact_dup", col("url") =!= col("keep_url"))
 
     // 3. near dedup on the exact-kept set: LSH candidate pairs verified by
-    //    Jaccard; drop the lexicographically larger url of each pair
+    //    Jaccard; drop the lexicographically larger url of each pair.
+    //    Signatures are a narrow in-kernel map (no shingle shuffle);
+    //    shingles explode only for candidate docs.
     val docsForLsh = exactKept.filter(!col("is_exact_dup"))
       .select(col("url"), col("text"))
-    val toks = docsForLsh
-      .select(col("url"), Dedup.tokensCol(col("text")).as("toks"))
-      .select(col("url"), explode(Dedup.shinglesExpr).as("sh"))
-    val bands = toks.groupBy(col("url")).agg(collect_set(col("sh")).as("shs"))
-      .as[(String, Seq[String])]
-      .flatMap { case (u, shingles) =>
-        val sig = Dedup.minhashSignature(shingles)
+    val bands = docsForLsh
+      .as[(String, String)]
+      .flatMap { case (u, text) =>
+        val sig = Dedup.minhashSignature(Dedup.shinglesOf(text))
         (0 until Dedup.Bands).map(b => (u, b, Dedup.bandHash(sig, b)))
       }
       .toDF("url", "band", "bucket_h")
@@ -73,6 +72,12 @@ object CorpusPipeline {
         .as("p"))
       .select(col("p.url_a"), col("p.url_b"))
       .distinct()
+    val candUrls = cand.select(col("url_a").as("url"))
+      .union(cand.select(col("url_b").as("url"))).distinct()
+    val toks = docsForLsh
+      .join(broadcast(candUrls), Seq("url"), "left_semi")
+      .select(col("url"), Dedup.tokensCol(col("text")).as("toks"))
+      .select(col("url"), explode(Dedup.shinglesExpr).as("sh"))
     val sizes = toks.groupBy(col("url")).agg(count(lit(1)).as("n"))
     val nearDupUrls = cand
       .join(toks.as("a"), col("url_a") === col("a.url"))

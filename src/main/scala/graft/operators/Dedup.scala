@@ -152,21 +152,54 @@ object Dedup {
     h
   }
 
+  /** In-kernel shingling — EXACTLY the semantics of
+    * `tokensCol` + `shinglesExpr` (lowercase alnum runs, distinct 3-gram
+    * space-joined shingles); equality asserted in OperatorsSpec. Lets the
+    * signature stage run as a narrow map with zero shuffle instead of
+    * explode → groupBy(collect_set) over every shingle in the corpus.
+    */
+  def shinglesOf(text: String): scala.collection.Set[String] = {
+    val lower = text.toLowerCase
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && !isAlnum(lower.charAt(i))) i += 1
+      val s0 = i
+      while (i < n && isAlnum(lower.charAt(i))) i += 1
+      if (i > s0) toks += lower.substring(s0, i)
+    }
+    val out = scala.collection.mutable.HashSet.empty[String]
+    var k = 0
+    while (k + 2 < toks.length) {
+      out += (toks(k) + " " + toks(k + 1) + " " + toks(k + 2))
+      k += 1
+    }
+    out
+  }
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
   /** Candidate pairs via LSH banding, then exact-Jaccard verification on
-    * candidates only. Three shuffles total (sig groupBy, band bucket join,
-    * verify join) — each linear in corpus + candidates, never quadratic in
-    * the corpus. Buckets with > maxBucket docs are dropped (degenerate
-    * shingle content — same role as a stopword cap), logged via lineage at
-    * scale.
+    * candidates only.
+    *
+    * Scale shape: signatures are a NARROW map over (doc_id, text) —
+    * in-kernel shingling, no shingle explosion, no shuffle. The only
+    * shuffles are (a) the band-bucket groupBy over Bands rows/doc,
+    * (b) the verification join, which explodes shingles ONLY for docs
+    * that appear in some candidate pair (a vanishing fraction of a real
+    * corpus). Buckets with > maxBucket docs are dropped (degenerate
+    * shingle content — same role as a stopword cap), logged via lineage
+    * at scale.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, dir)
-    // per-doc shingle sets → signatures → (band, bucket, doc)
-    val bands = sh.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
-      .as[(Long, Seq[String])]
-      .flatMap { case (id, shingles) =>
-        val sig = minhashSignature(shingles)
+    // narrow signature stage: no shuffle
+    val bands = corpus(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhashSignature(shinglesOf(text))
         (0 until Bands).map(b => (id, b, bandHash(sig, b)))
       }
       .toDF("doc_id", "band", "bucket")
@@ -180,7 +213,12 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    // exact verify on candidates only
+    // exact verify on candidates only: shingles exploded JUST for docs
+    // appearing in some candidate pair (broadcast semi-join gate)
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingleRows(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("a"), col("id_a") === col("a.doc_id"))

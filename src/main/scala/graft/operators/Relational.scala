@@ -321,6 +321,45 @@ object Relational {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Statistical aggregates: stddev, exact percentile (interpolated),
+    * correlation — rounded so cross-engine float noise cannot flip the
+    * hash compare.
+    */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev(col("l_quantity")), 3).as("sd_qty"),
+        round(expr("percentile(l_quantity, 0.5)"), 3).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag, round(stddev(l_quantity), 3) AS sd_qty,
+      | round(quantile_cont(l_quantity, 0.5), 3) AS med_qty,
+      | round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+      | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Scalar subquery: orders above the global average price. The scalar
+    * side is a 1-row broadcast (no shuffle of the fact table).
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val avgP = table(s, dir, "orders").agg(avg(col("o_totalprice")).as("ap"))
+    table(s, dir, "orders")
+      .crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderstatus, count(*) AS n_above_avg FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q1_pricing_summary", q1PricingSummary _, q1Sql),
@@ -339,6 +378,8 @@ object Relational {
     ("q_rollup", qRollup _, qRollupSql),
     ("q_distinct_agg", qDistinctAgg _, qDistinctAggSql),
     ("q_case_math", qCaseMath _, qCaseMathSql),
-    ("q_array_agg", qArrayAgg _, qArrayAggSql)
+    ("q_array_agg", qArrayAgg _, qArrayAggSql),
+    ("q_stats_agg", qStatsAgg _, qStatsAggSql),
+    ("q_scalar_subquery", qScalarSubquery _, qScalarSubquerySql)
   )
 }

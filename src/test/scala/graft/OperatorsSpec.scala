@@ -104,6 +104,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.8, s"recall ${lsh.size}/${exact.size}")
   }
 
+  // ---- in-kernel shingles must equal the SQL shingles ----
+
+  test("dedup: in-kernel shinglesOf equals tokensCol+shinglesExpr") {
+    import spark.implicits._
+    val sqlShingles = Dedup.corpus(spark, sf0001)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesExpr.as("shs"))
+      .as[(Long, Seq[String])].collect().map { case (id, shs) => id -> shs.toSet }.toMap
+    val kernelShingles = Dedup.corpus(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, text) => id -> Dedup.shinglesOf(text).toSet }.toMap
+    assert(sqlShingles.keySet == kernelShingles.keySet)
+    sqlShingles.foreach { case (id, shs) =>
+      assert(kernelShingles(id) == shs, s"doc $id shingle mismatch")
+    }
+  }
+
   // ---- simhash: banding is pigeonhole-complete for hamming <= 3 ----
 
   test("dedup: simhash banded pairs equal brute-force hamming<=3 pairs") {

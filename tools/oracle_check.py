@@ -1,0 +1,42 @@
+import duckdb, json, glob, math, sys
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_sf001'
+sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f'{outdir}/oracle_sql.json'))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return 'nan'
+        return f'{v:.9g}'
+    if isinstance(v, list): return tuple(norm(x) for x in v)
+    return str(v)
+
+def table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+fails = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols, srows = [d[0] for d in spark_rel.description], spark_rel.fetchall()
+        duck_rel = con.sql(sql)
+        dcols, drows = [d[0] for d in duck_rel.description], duck_rel.fetchall()
+        if sorted(scols) != sorted(dcols):
+            print(f'FAIL {name}: cols {sorted(scols)} vs {sorted(dcols)}'); fails += 1; continue
+        sk, dk = table_key(srows, scols), table_key(drows, dcols)
+        if len(sk) != len(dk):
+            print(f'FAIL {name}: rows {len(sk)} vs {len(dk)}'); fails += 1; continue
+        bad = [ (a,b) for a,b in zip(sk,dk) if a != b ]
+        if bad:
+            print(f'FAIL {name}: {len(bad)} mismatched rows, first: {bad[0]}'); fails += 1
+        else:
+            print(f'OK   {name}: {len(sk)} rows')
+    except Exception as e:
+        print(f'ERR  {name}: {str(e)[:200]}'); fails += 1
+print('FAILS:', fails)
