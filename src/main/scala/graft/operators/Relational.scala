@@ -360,6 +360,39 @@ object Relational {
       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Pivot (wide conditional aggregation): order counts per priority ×
+    * status. Spark's .pivot plans to the same conditional-agg shape the
+    * oracle spells out — one shuffle, map-side partials.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  /** Cube (all grouping-set combinations). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q1_pricing_summary", q1PricingSummary _, q1Sql),
@@ -380,6 +413,8 @@ object Relational {
     ("q_case_math", qCaseMath _, qCaseMathSql),
     ("q_array_agg", qArrayAgg _, qArrayAggSql),
     ("q_stats_agg", qStatsAgg _, qStatsAggSql),
-    ("q_scalar_subquery", qScalarSubquery _, qScalarSubquerySql)
+    ("q_scalar_subquery", qScalarSubquery _, qScalarSubquerySql),
+    ("q_pivot", qPivot _, qPivotSql),
+    ("q_cube", qCube _, qCubeSql)
   )
 }
