@@ -93,6 +93,32 @@ object ExtractRunner {
     RunReport(snapshotId, docsProcessed, bucketsDone, wallMs)
   }
 
+  /** Status point lookup — the `GET /api/file/status/<id>` analogue
+    * (routes.py:138-204, task.py:60-84): one row for a url, served by
+    * bucket-partition pruning + predicate pushdown (the scan touches one
+    * bucket directory, not the table).
+    */
+  def status(spark: SparkSession, outRoot: String, url: String,
+      buckets: Int = ExtractJob.DefaultBuckets): DataFrame = {
+    val bucket = java.lang.Math.floorMod(XxHash.hashUtf8(url), buckets.toLong).toInt
+    spark.read.parquet(s"$outRoot/extracted")
+      .filter(col("bucket") === bucket && col("url") === url)
+      .select(col("url"), col("status"), col("error"), col("n_pages"),
+        col("n_failed_pages"), col("engine"))
+  }
+
+  /** Operational status — the status endpoint's aggregate view, from
+    * lineage alone (never scans the data table).
+    */
+  def jobStatus(spark: SparkSession, outRoot: String): DataFrame =
+    spark.read.parquet(s"$outRoot/lineage")
+      .groupBy(col("snapshot_id"))
+      .agg(count(lit(1)).as("buckets_done"),
+        sum(col("doc_count")).as("docs"),
+        sum(col("ok_count")).as("ok"),
+        sum(col("fail_count")).as("failed"))
+      .orderBy(col("snapshot_id"))
+
   def main(args: Array[String]): Unit = {
     val pagesDir = args(0)
     val outRoot = args(1)

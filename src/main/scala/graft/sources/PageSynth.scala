@@ -32,9 +32,16 @@ object PageSynth {
   case object KCorruptPdf extends Kind
   case object KEmpty extends Kind
   case object KUnsupported extends Kind
+  case object KOversize extends Kind
+
+  /** exactly one oversize doc per corpus (10 MB cap + 1, config.py:15) —
+    * a single fixed id so synthesis cost stays O(10 MB) at every SF
+    */
+  val OversizeDocId = 61L
 
   def kindOf(id: Long): Kind =
-    if (id % 101 == 13) KEmpty
+    if (id == OversizeDocId) KOversize
+    else if (id % 101 == 13) KEmpty
     else if (id % 101 == 29) KUnsupported
     else if (id % 101 == 47) KCorruptPdf
     else if (id % 10 == 7) KPdf
@@ -159,6 +166,13 @@ object PageSynth {
   }
 
   def payloadFor(d: Doc): Array[Byte] = kindOf(d.doc_id) match {
+    case KOversize =>
+      // > MAX_CONTENT_LENGTH: dispatch rejects on size BEFORE content,
+      // so the body is a cheap constant fill behind an HTML prefix
+      val b = new Array[Byte](graft.kernel.MergeSpec.MaxContentLength + 1)
+      java.util.Arrays.fill(b, 'x'.toByte)
+      b(0) = '<'
+      b
     case KEmpty => Array.emptyByteArray
     case KUnsupported =>
       val filler = s"unsupported payload for doc ${d.doc_id}".getBytes("UTF-8")
@@ -182,6 +196,8 @@ object PageSynth {
                           expected_n_pages: Int, expected_n_failed: Int)
 
   def goldenFor(d: Doc): Golden = kindOf(d.doc_id) match {
+    case KOversize =>
+      Golden(urlFor(d), "failed", "", MergeSpec.FileTooLarge, 0, 0)
     case KEmpty =>
       Golden(urlFor(d), "failed", "", MergeSpec.EmptyFile, 0, 0)
     case KUnsupported =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{ExtractJob, Relational, Similarity}
@@ -65,5 +66,42 @@ class PlanShapeSpec extends AnyFunSuite {
   test("ann: query side broadcast against the corpus scan") {
     val plan = physicalPlan(Similarity.annBruteForce(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("aqe: skewed sort-merge join is split at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key holding half the left side — the Common-Crawl hot-host shape
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 1000).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"))
+      val n = joined.collect()(0).getLong(0)
+      assert(n == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 }

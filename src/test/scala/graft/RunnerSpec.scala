@@ -56,5 +56,15 @@ class RunnerSpec extends AnyFunSuite {
 
     // snapshots ledger: one row per run
     assert(spark.read.parquet(s"$base/out/snapshots").count() == 2)
+
+    // status point lookup (the GET /status/<id> analogue): one row,
+    // bucket-pruned; and the lineage-only job status
+    val someUrl = spark.read.parquet(s"$base/out/extracted")
+      .select(col("url")).limit(1).as[String].collect()(0)
+    val st = ExtractRunner.status(spark, s"$base/out", someUrl, buckets = 8).collect()
+    assert(st.length == 1 && st(0).getAs[String]("url") == someUrl)
+    val js = ExtractRunner.jobStatus(spark, s"$base/out")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(js.length == 1 && js(0)._3 == 500) // one snapshot, 500 docs
   }
 }
