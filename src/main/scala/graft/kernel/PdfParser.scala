@@ -426,21 +426,28 @@ object PdfParser {
     }
   }
 
+  /** One Inflater per thread, reset between streams — creating/ending a
+    * native zlib context per page stream serializes on native allocation
+    * at 32 threads (measured: PDF path scaled 6× vs HTML's 17× before
+    * this).
+    */
+  private val threadInflater: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater())
+
   def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    try {
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
-      val buf = new Array[Byte](8192)
-      while (!inf.finished()) {
-        val k = inf.inflate(buf)
-        if (k == 0) {
-          if (inf.needsInput() || inf.needsDictionary())
-            throw new PdfStructureException("corrupt flate stream")
-        } else out.write(buf, 0, k)
-      }
-      out.toByteArray
-    } finally inf.end()
+    val inf = threadInflater.get()
+    inf.reset()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0) {
+        if (inf.needsInput() || inf.needsDictionary())
+          throw new PdfStructureException("corrupt flate stream")
+      } else out.write(buf, 0, k)
+    }
+    out.toByteArray
   }
 
   /** Extract text from a decoded content stream: BT/ET, Tj/TJ/'/" emit

@@ -42,23 +42,26 @@ object Profile {
       time("pdf  1-thread", pdfPages.length) {
         pdfPages.map(p => ExtractKernel.extractOne(p, 0).text.length.toLong).sum
       }
-      val par = 32
-      time(s"html $par-thread", htmlPages.length * 4L) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-        val futs = (0 until par).map { t =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            def call(): Long = {
-              var acc = 0L
-              var i = t % 8 // stride 8 × 32 threads → corpus covered 4×
-              while (i < htmlPages.length) { acc += ExtractKernel.extractOne(htmlPages(i), 0).text.length; i += 8 }
-              acc
-            }
-          })
+      def parRun(label: String, pages: Array[graft.model.Page], nDocs: Long): Unit =
+        time(label, nDocs) {
+          val par = 32
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          val futs = (0 until par).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                var acc = 0L
+                var i = t % 8 // stride 8 × 32 threads → corpus covered 4×
+                while (i < pages.length) { acc += ExtractKernel.extractOne(pages(i), 0).text.length; i += 8 }
+                acc
+              }
+            })
+          }
+          val r = futs.map(_.get()).sum
+          pool.shutdown()
+          r
         }
-        val r = futs.map(_.get()).sum
-        pool.shutdown()
-        r
-      }
+      parRun("html 32-thread", htmlPages, htmlPages.length * 4L)
+      parRun("pdf  32-thread", pdfPages, pdfPages.length * 4L)
     }
   }
 }
