@@ -121,8 +121,8 @@ object ExtractKernel {
       case Right(t) if profile.engine == "llm" && t.isEmpty => Right(MergeSpec.LlmEmptyText)
       case other => other
     }
-    val (merged, nFailed) = MergeSpec.mergePages(withProfile)
-    Extracted(p.url, Completed, merged, Seq.empty, "", pagesE.length, nFailed,
+    val (merged, nFailed, spans) = MergeSpec.mergePagesWithSpans(withProfile)
+    Extracted(p.url, Completed, merged, spans, "", pagesE.length, nFailed,
       profile.engine, bucket)
   }
 

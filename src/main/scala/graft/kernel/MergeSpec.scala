@@ -27,18 +27,44 @@ object MergeSpec {
     * Returns (merged text, failed page count).
     */
   def mergePages(pages: Seq[Either[String, String]]): (String, Int) = {
-    val parts = pages.zipWithIndex.map {
-      case (Right(t), i) => s"--- 第${i + 1}页 ---\n$t"
-      case (Left(_), i)  => s"--- 第${i + 1}页（处理失败）---"
+    val (text, nFailed, _) = mergePagesWithSpans(pages)
+    (text, nFailed)
+  }
+
+  /** Merge + character spans: one span per SUCCESSFUL page covering its
+    * text content (header excluded), kind "page". The merged string is
+    * byte-identical to `mergePages` — spans are derived bookkeeping, not
+    * a format change.
+    */
+  def mergePagesWithSpans(
+      pages: Seq[Either[String, String]]): (String, Int, Seq[graft.model.Span]) = {
+    val sb = new java.lang.StringBuilder(256)
+    val spans = Seq.newBuilder[graft.model.Span]
+    var failedCount = 0
+    val failedNums = Seq.newBuilder[Int]
+    pages.zipWithIndex.foreach { case (page, i) =>
+      if (i > 0) sb.append("\n\n")
+      page match {
+        case Right(t) =>
+          sb.append("--- 第").append(i + 1).append("页 ---\n")
+          val start = sb.length().toLong
+          sb.append(t)
+          spans += graft.model.Span(start, sb.length().toLong, "page")
+        case Left(_) =>
+          failedCount += 1
+          failedNums += (i + 1)
+          sb.append("--- 第").append(i + 1).append("页（处理失败）---")
+      }
     }
-    val failed = pages.zipWithIndex.collect { case (Left(_), i) => i + 1 }
-    val combined = parts.mkString("\n\n")
-    val footer =
-      if (failed.nonEmpty)
-        s"\n\n--- 处理摘要 ---\n总页数: ${pages.length}\n成功页数: ${pages.length - failed.length}\n失败页数: ${failed.length}\n失败页码: ${failed.mkString(", ")}"
-      else
-        s"\n\n--- 处理摘要 ---\n总页数: ${pages.length}\n所有页面处理成功"
-    (combined + footer, failed.length)
+    if (failedCount > 0)
+      sb.append("\n\n--- 处理摘要 ---\n总页数: ").append(pages.length)
+        .append("\n成功页数: ").append(pages.length - failedCount)
+        .append("\n失败页数: ").append(failedCount)
+        .append("\n失败页码: ").append(failedNums.result().mkString(", "))
+    else
+      sb.append("\n\n--- 处理摘要 ---\n总页数: ").append(pages.length)
+        .append("\n所有页面处理成功")
+    (sb.toString, failedCount, spans.result())
   }
 
   // ---- Error-string literals that are *data* (must match the reference

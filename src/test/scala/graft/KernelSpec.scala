@@ -82,6 +82,17 @@ class KernelSpec extends AnyFunSuite {
     assert(got == pages.map(Right(_)))
   }
 
+  test("pdf: merged spans slice back to exactly the page texts") {
+    val pages = Seq(Right("alpha beta"), Left("x"), Right("gamma\ndelta"))
+    val (txt, nf, spans) = MergeSpec.mergePagesWithSpans(pages)
+    assert(nf == 1)
+    assert(spans.map(_.kind) == Seq("page", "page"))
+    val slices = spans.map(s => txt.substring(s.start.toInt, s.end.toInt))
+    assert(slices == Seq("alpha beta", "gamma\ndelta"))
+    // and the text remains byte-identical to the span-less merge
+    assert(txt == MergeSpec.mergePages(pages)._1)
+  }
+
   test("pdf: corrupt middle page isolated (A9)") {
     val pages = Seq("p1", "p2", "p3")
     val bytes = PdfGen.build(pages, corruptPages = Set(1))
