@@ -120,6 +120,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
       "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
       "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
+      "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
       // ---- similarity search ----
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
       "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -147,6 +148,7 @@ object SparkEntry {
       "dedup_exact" -> Dedup.dedupExactSql,
       "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
       "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+      "dedup_clusters" -> Dedup.dedupClustersSql,
       "ann_bruteforce" -> Similarity.annBruteForceSql,
       "text_stats" -> TextAnalysis.textStatsSql,
       "text_quality" -> TextAnalysis.textQualitySql,

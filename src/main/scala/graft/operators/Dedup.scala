@@ -236,6 +236,86 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Duplicate clusters (connected components over near-dup pairs)
+  // ------------------------------------------------------------------
+
+  /** Distributed min-label propagation: each node starts labeled with
+    * itself; every round, each node takes the min label among itself and
+    * its neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are shallow — diameter 2-3 in practice). Each round is one
+    * shuffle; `localCheckpoint` truncates the growing plan so round N
+    * doesn't recompute rounds 1..N-1. Deterministic: labels are min doc
+    * ids, independent of execution order.
+    */
+  def connectedComponents(
+      s: SparkSession,
+      edges: DataFrame, // two long columns: id_a, id_b
+      maxIters: Int = 20): DataFrame = {
+    val bidir = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = bidir.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val prop = labels.as("l").join(bidir, col("l.node") === col("u"))
+        .select(col("v").as("node"), col("l.label").as("label"))
+        .unionAll(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = prop.as("p")
+        .join(labels.as("o"), col("p.node") === col("o.node"))
+        .filter(col("p.label") =!= col("o.label"))
+        .isEmpty
+      labels = prop
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels
+  }
+
+  /** Near-duplicate clusters: connected components over the exact-Jaccard
+    * pair set, summarized per cluster. (The LSH pair set feeds the same
+    * function at scale; the exact set keeps this query oracle-checkable.)
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupNgramJaccard(s, dir)
+    connectedComponents(s, edges)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        min(col("node")).as("min_doc"),
+        max(col("node")).as("max_doc"))
+      .filter(col("size") >= 2)
+      .orderBy(col("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH all_docs AS ($corpusSql),
+       |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM all_docs),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $JaccardThreshold),
+       |bidir AS (SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges),
+       |rec AS (
+       |  WITH RECURSIVE reach(node, label) AS (
+       |    SELECT u, u FROM (SELECT u FROM bidir UNION SELECT v FROM bidir) t(u)
+       |    UNION
+       |    SELECT b.v, r.label FROM reach r JOIN bidir b ON b.u = r.node WHERE r.label < b.v
+       |  )
+       |  SELECT node, min(label) AS label FROM reach GROUP BY node
+       |)
+       |SELECT label AS cluster_id, count(*) AS size, min(node) AS min_doc, max(node) AS max_doc
+       |FROM rec GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -393,6 +393,27 @@ object Relational {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Full outer join of two pre-aggregated sides (nation coverage of
+    * customers vs suppliers; either side may be absent).
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sp = table(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sp, Seq("nationkey"), "full_outer")
+      .na.fill(0L, Seq("n_cust", "n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterSql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      | USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q1_pricing_summary", q1PricingSummary _, q1Sql),
@@ -415,6 +436,7 @@ object Relational {
     ("q_stats_agg", qStatsAgg _, qStatsAggSql),
     ("q_scalar_subquery", qScalarSubquery _, qScalarSubquerySql),
     ("q_pivot", qPivot _, qPivotSql),
-    ("q_cube", qCube _, qCubeSql)
+    ("q_cube", qCube _, qCubeSql),
+    ("q_full_outer", qFullOuter _, qFullOuterSql)
   )
 }
