@@ -96,6 +96,41 @@ object PageSynth {
     sb.toString
   }
 
+  /** The article's content-block structure — the single source of truth
+    * shared by the HTML renderer and the golden generator, so structural
+    * variety (section headings, list blocks) stays golden-by-construction.
+    */
+  sealed trait Block
+  final case class BPara(text: String, idx: Int) extends Block
+  final case class BHeading(text: String) extends Block
+  final case class BList(items: Seq[String]) extends Block
+
+  def articleBlocks(d: Doc): Seq[Block] = {
+    val id = d.doc_id
+    val paras = paragraphsOf(d)
+    val out = Seq.newBuilder[Block]
+    paras.zipWithIndex.foreach { case (p, i) =>
+      // every 7th doc gets h2 section headings between paragraph groups
+      if (id % 7 == 3 && i > 0 && i % 3 == 0) out += BHeading(s"Part ${i / 3}")
+      val isLast = i == paras.length - 1
+      if (id % 11 == 6 && isLast && paras.length >= 2) {
+        // every 11th doc renders its last paragraph as a <ul> — each <li>
+        // is its own block in the extracted text
+        val words = p.split(" ").filter(_.nonEmpty)
+        out += BList(words.grouped(5).map(_.mkString(" ")).toSeq)
+      } else out += BPara(p, i)
+    }
+    out.result()
+  }
+
+  /** golden extracted text for an HTML page = title + blocks, "\n\n"-joined */
+  def htmlGoldenText(d: Doc): String =
+    (titleFor(d) +: articleBlocks(d).flatMap {
+      case BPara(t, _)  => Seq(t)
+      case BHeading(t)  => Seq(t)
+      case BList(items) => items
+    }).mkString("\n\n")
+
   /** Wrap the doc in realistic boilerplate. All chrome is strippable by
     * MainContent's heuristics (tag blocklist / class blocklist /
     * link-density); doc_id varies the template and injects malformed
@@ -105,7 +140,6 @@ object PageSynth {
   def htmlFor(d: Doc): String = {
     val id = d.doc_id
     val title = escapeHtml(titleFor(d))
-    val paras = paragraphsOf(d)
     val sb = new StringBuilder(2048)
     sb.append("<!DOCTYPE html>\n<html lang=\"").append(d.lang).append("\">\n<head>\n")
     sb.append("<meta charset=\"utf-8\">\n<title>").append(title).append("</title>\n")
@@ -125,27 +159,42 @@ object PageSynth {
     sb.append("<li><a href=\"/p/1\">Post one</a></li><li><a href=\"/p/2\">Post two</a></li>")
     sb.append("<li><a href=\"/p/3\">Post three</a></li></ul></div>\n")
     sb.append("<main><article>\n<h1>").append(title).append("</h1>\n")
-    paras.zipWithIndex.foreach { case (ptext, i) =>
-      val esc = escapeHtml(ptext)
-      if (i == 0 && id % 4 == 0 && ptext.length > 20) {
-        // inline link mid-paragraph: same text, nonzero link density
-        val cut1 = esc.length / 3
-        val cut2 = esc.length / 2
-        // cut on char boundaries of the escaped string is safe only if we
-        // avoid splitting an entity — fall back to no link if a cut lands
-        // inside one
-        val safe = !esc.substring(0, cut1).reverse.takeWhile(_ != ';').contains('&') &&
-          !esc.substring(0, cut2).reverse.takeWhile(_ != ';').contains('&')
-        if (safe) {
-          sb.append("<p>").append(esc.substring(0, cut1))
-            .append("<a href=\"/ref\">").append(esc.substring(cut1, cut2)).append("</a>")
-            .append(esc.substring(cut2)).append("</p>\n")
-        } else sb.append("<p>").append(esc).append("</p>\n")
-      } else if (i % 5 == 4) {
-        sb.append("<p>").append(esc.replaceFirst(" ", "&nbsp;")).append("</p>\n")
-      } else {
-        sb.append("<p>").append(esc).append("</p>\n")
-      }
+    articleBlocks(d).foreach {
+      case BHeading(t) =>
+        sb.append("<h2>").append(escapeHtml(t)).append("</h2>\n")
+      case BList(items) =>
+        sb.append("<ul class=\"content-list\">\n")
+        items.foreach(it => sb.append("  <li>").append(escapeHtml(it)).append("</li>\n"))
+        sb.append("</ul>\n")
+      case BPara(ptext, i) =>
+        val esc = escapeHtml(ptext)
+        if (i == 0 && id % 4 == 0 && ptext.length > 20) {
+          // inline link mid-paragraph: same text, nonzero link density
+          val cut1 = esc.length / 3
+          val cut2 = esc.length / 2
+          // cut on char boundaries of the escaped string is safe only if we
+          // avoid splitting an entity — fall back to no link if a cut lands
+          // inside one
+          val safe = !esc.substring(0, cut1).reverse.takeWhile(_ != ';').contains('&') &&
+            !esc.substring(0, cut2).reverse.takeWhile(_ != ';').contains('&')
+          if (safe) {
+            sb.append("<p>").append(esc.substring(0, cut1))
+              .append("<a href=\"/ref\">").append(esc.substring(cut1, cut2)).append("</a>")
+              .append(esc.substring(cut2)).append("</p>\n")
+          } else sb.append("<p>").append(esc).append("</p>\n")
+        } else if (i % 5 == 4) {
+          sb.append("<p>").append(esc.replaceFirst(" ", "&nbsp;")).append("</p>\n")
+        } else if (id % 5 == 2 && esc.indexOf(' ') >= 0) {
+          // inline emphasis on the second word: <em> is a phrasing element,
+          // so the extracted text is unchanged
+          val words = esc.split(" ")
+          val emWords =
+            if (words.length >= 2) words.updated(1, "<em>" + words(1) + "</em>")
+            else words
+          sb.append("<p>").append(emWords.mkString(" ")).append("</p>\n")
+        } else {
+          sb.append("<p>").append(esc).append("</p>\n")
+        }
     }
     sb.append("</article></main>\n")
     sb.append("<div class=\"linkfarm-x\"><a href=\"/l/1\">more</a> <a href=\"/l/2\">links</a> ")
@@ -214,8 +263,7 @@ object PageSynth {
       val (txt, nf) = MergeSpec.mergePages(outcomes)
       Golden(urlFor(d), "completed", txt, "", pages.length, nf)
     case KHtml =>
-      val expected = (titleFor(d) +: paragraphsOf(d)).mkString("\n\n")
-      Golden(urlFor(d), "completed", expected, "", 1, 0)
+      Golden(urlFor(d), "completed", htmlGoldenText(d), "", 1, 0)
   }
 
   // ------------------------------------------------------------------

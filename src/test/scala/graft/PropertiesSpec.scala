@@ -130,6 +130,21 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("pdf parser: total on %PDF-prefixed garbage (throws PdfStructureException or returns)") {
+    val pdfish = for {
+      junk <- Gen.listOf(Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(8)),
+        Gen.oneOf("obj", "endobj", "stream", "endstream", "<<", ">>", "/Type",
+          "/Page", "/Pages", "/Kids", "[", "]", "(text)", "trailer", "/Root",
+          "1 0 R", "xref", "%%EOF", "\n", " "),
+        Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(bs => new String(bs.toArray, "ISO-8859-1"))))
+    } yield ("%PDF-1.4\n" + junk.mkString(" ")).getBytes("ISO-8859-1")
+    check(Prop.forAll(pdfish) { b =>
+      try { graft.kernel.PdfParser.parse(b); true }
+      catch { case _: Exception => true } // must terminate; no hang/StackOverflow
+    })
+  }
+
   test("langid/fingerprint: total on arbitrary strings") {
     check(Prop.forAll(Gen.asciiStr) { s =>
       TextAnalysis.langIdOf(s) != null && {
