@@ -26,7 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: 32-thread extraction is allocation-heavy and the box has
+  // 125 GiB; stays under the 32 GiB compressed-oops threshold
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // throughput-batch profile: the extract kernel allocates heavily
   // (strings/tokens); ParallelGC beats G1 here at 32 threads
   "-XX:+UseParallelGC",
