@@ -158,7 +158,7 @@ object Dedup {
     * signature stage run as a narrow map with zero shuffle instead of
     * explode → groupBy(collect_set) over every shingle in the corpus.
     */
-  def shinglesOf(text: String): scala.collection.Set[String] = {
+  def tokensOf(text: String): scala.collection.IndexedSeq[String] = {
     val lower = text.toLowerCase
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -169,6 +169,11 @@ object Dedup {
       while (i < n && isAlnum(lower.charAt(i))) i += 1
       if (i > s0) toks += lower.substring(s0, i)
     }
+    toks
+  }
+
+  def shinglesOf(text: String): scala.collection.Set[String] = {
+    val toks = tokensOf(text)
     val out = scala.collection.mutable.HashSet.empty[String]
     var k = 0
     while (k + 2 < toks.length) {
@@ -346,12 +351,12 @@ object Dedup {
     * any 16-bit chunk value (pigeonhole-complete for hamming ≤ 3).
     */
   def dedupSimhash(s: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
-    import s.implicits._
+    // signature via the native codegen'd expression (functions.SimHash64,
+    // registered through the session's FunctionRegistry): stays inside
+    // whole-stage codegen, no typed-Dataset boundary
+    graft.functions.SimHash64.register(s)
     val sigs = corpus(s, dir)
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .as[(Long, Seq[String])]
-      .map { case (id, toks) => (id, simhash(toks)) }
-      .toDF("doc_id", "sig")
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
           "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))

@@ -146,6 +146,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.exists { case (a, b) => b == a + 1000000 })
   }
 
+  // ---- native simhash64 expression (codegen) ----
+
+  test("simhash64: native expression equals the scala path; SQL-callable; codegen'd") {
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT simhash64('Hello, WORLD 42!') AS h").as[Long].collect()(0)
+    assert(viaSql == Dedup.simhash(Dedup.tokensOf("Hello, WORLD 42!")))
+    // column surface over real data — compare against the typed map
+    val exprSide = Dedup.corpus(spark, sf0001)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val scalaSide = Dedup.corpus(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> Dedup.simhash(Dedup.tokensOf(t)) }.toMap
+    assert(exprSide == scalaSide)
+    // null safety
+    assert(spark.sql("SELECT simhash64(CAST(NULL AS STRING)) IS NULL AS n")
+      .as[Boolean].collect()(0))
+    // the plan stays inside whole-stage codegen: the projection carrying
+    // simhash64 must be inside a codegen stage ("*(n) Project")
+    val plan = Dedup.corpus(spark, sf0001)
+      .select(call_function("simhash64", col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [simhash64"), plan)
+  }
+
   // ---- ANN: LSH recall vs brute force; expression/scala signature parity ----
 
   test("ann: lsh signature expression matches scala; recall@5 acceptable") {
