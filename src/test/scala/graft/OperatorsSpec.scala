@@ -14,6 +14,17 @@ import graft.streaming.StreamingExtract
 class OperatorsSpec extends AnyFunSuite {
   import TestSpark.{sf0001, spark}
 
+  // ---- driver smoke: the flagship entry must produce rows ----
+
+  test("entry: flagship query returns per-(lang,status) rows") {
+    import spark.implicits._
+    val rows = SparkEntry.entry(spark)
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == 500) // all docs accounted for
+    assert(rows.exists(r => r._1 == "zh" && r._2 == "completed"))
+  }
+
   // ---- bucket key parity: kernel-side hash == Catalyst xxhash64 ----
 
   test("bucket: XxHash.hashUtf8 matches Spark's xxhash64 expression") {
