@@ -64,7 +64,7 @@ object ExtractKernel {
     while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
     if (i < b.length && b(i) == '<') return true
     val lim = math.min(b.length, 256)
-    val head = new String(b, 0, lim, "ISO-8859-1").toLowerCase
+    val head = new String(b, 0, lim, "ISO-8859-1").toLowerCase(java.util.Locale.ROOT)
     head.contains("<html") || head.contains("<!doctype")
   }
 

@@ -77,7 +77,7 @@ object HtmlTokenizer {
         }
       }
     }
-    html.substring(s, e).toLowerCase
+    html.substring(s, e).toLowerCase(java.util.Locale.ROOT)
   }
 
   def tokenize(html: String): ArrayBuffer[Tok] = {
@@ -175,8 +175,8 @@ object HtmlTokenizer {
             }
           }
           if (wanted)
-            classId = if (classId.isEmpty) value.toLowerCase
-                      else classId + " " + value.toLowerCase
+            classId = if (classId.isEmpty) value.toLowerCase(java.util.Locale.ROOT)
+                      else classId + " " + value.toLowerCase(java.util.Locale.ROOT)
         } else j += 1
       }
       (classId, self, if (j < n) j + 1 else j)
@@ -397,7 +397,7 @@ object HtmlTokenizer {
           }
         }
       }
-      new String(b, s, e - s, UTF8).toLowerCase
+      new String(b, s, e - s, UTF8).toLowerCase(java.util.Locale.ROOT)
     }
     def regionEqCi(s: Int, e: Int, t: String): Boolean = {
       if (e - s != t.length) return false
@@ -501,8 +501,8 @@ object HtmlTokenizer {
             }
           }
           if (wanted)
-            classId = if (classId.isEmpty) value.toLowerCase
-                      else classId + " " + value.toLowerCase
+            classId = if (classId.isEmpty) value.toLowerCase(java.util.Locale.ROOT)
+                      else classId + " " + value.toLowerCase(java.util.Locale.ROOT)
         } else j += 1
       }
       (classId, self, if (j < n) j + 1 else j)

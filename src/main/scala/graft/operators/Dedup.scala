@@ -159,7 +159,7 @@ object Dedup {
     * explode → groupBy(collect_set) over every shingle in the corpus.
     */
   def tokensOf(text: String): scala.collection.IndexedSeq[String] = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     val n = lower.length

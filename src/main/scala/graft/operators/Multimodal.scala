@@ -37,7 +37,7 @@ object Multimodal {
     else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
     else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
     else if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
-      .toLowerCase.contains("<!doctype")) "html"
+      .toLowerCase(java.util.Locale.ROOT).contains("<!doctype")) "html"
     else "bin"
   }
 

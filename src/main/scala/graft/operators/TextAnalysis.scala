@@ -156,7 +156,7 @@ object TextAnalysis {
       i += 1
     }
     if (letters > 0 && cjk.toDouble / letters > 0.05) return "zh"
-    val toks = text.toLowerCase.split("[^a-z0-9\\p{L}]+").iterator.filter(_.nonEmpty).take(800)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9\\p{L}]+").iterator.filter(_.nonEmpty).take(800)
     val counts = new Array[Int](StopwordLangs.length)
     var total = 0
     toks.foreach { t =>
