@@ -125,6 +125,7 @@ object SparkEntry {
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
       "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
       "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+      "emb_quantize_stats" -> ((s, dir) => graft.operators.Quantize.quantizeStats(s, dir)),
       // ---- text analysis ----
       "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),

@@ -265,6 +265,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == naive)
   }
 
+  // ---- embedding quantization fidelity ----
+
+  test("quantize: int8 per-dim symmetric keeps cosine fidelity >= 0.999; values in range") {
+    import spark.implicits._
+    val q = graft.operators.Quantize.quantized(spark, sf0001).cache()
+    try {
+      val stats = graft.operators.Quantize.quantizeStats(spark, sf0001)
+        .as[(Long, Double, Double, Double)].collect()(0)
+      assert(stats._1 == 500)
+      assert(stats._3 >= 0.999, s"min cosine fidelity ${stats._3}") // int8 on 64-dim
+      // quantized values must fit int8
+      val outOfRange = q.select(explode(col("q")).as("v"))
+        .filter(col("v") > 127 || col("v") < -127).count()
+      assert(outOfRange == 0)
+    } finally { q.unpersist(): Unit }
+  }
+
   // ---- language id ----
 
   test("langid: script + stopword heuristics on extracted text") {
