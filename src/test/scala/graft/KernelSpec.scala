@@ -73,6 +73,47 @@ class KernelSpec extends AnyFunSuite {
     assert(slices.mkString("\n\n") == r.text)
   }
 
+  test("main content: hand-written expectations for tricky structures") {
+    // table cells are blocks; comments and title never leak; rawtext pruned
+    val t1 = MainContent.extract(
+      """<html><head><title>NOT CONTENT</title></head><body><main>
+        |<table><tr><td>cell one</td><td>cell two</td></tr>
+        |<tr><td>cell three</td></tr></table>
+        |<!-- <p>commented out</p> --><p>after table</p>
+        |<script>var x = "<p>not text either</p>";</script>
+        |</main></body></html>""".stripMargin)
+    assert(t1.text == "cell one\n\ncell two\n\ncell three\n\nafter table")
+
+    // nested list items are separate blocks; implied </li> closes
+    val t2 = MainContent.extract(
+      "<article><ul><li>first item<li>second item</ul><ol><li>third</li></ol></article>")
+    assert(t2.text == "first item\n\nsecond item\n\nthird")
+    assert(t2.spans.map(_.kind) == Seq("li", "li", "li"))
+
+    // blockquote + pre are blocks; inline code is not
+    val t3 = MainContent.extract(
+      "<article><p>intro with <code>inline()</code> code</p>" +
+        "<blockquote>quoted words</blockquote><pre>preformatted body</pre></article>")
+    assert(t3.text == "intro with inline() code\n\nquoted words\n\npreformatted body")
+
+    // entity edge cases mid-content: numeric, hex, named, bare ampersand
+    val t4 = MainContent.extract(
+      "<p>&#72;i &amp; bye &#x4E2D; caf&eacute; 5 &lt; 6 &notanentity x</p>")
+    assert(t4.text == "Hi & bye 中 caf&eacute; 5 < 6 &notanentity x")
+
+    // adjacent text around an inline element joins without extra spaces
+    val t5 = MainContent.extract("<p>dis<b>connect</b>ed</p>")
+    assert(t5.text == "disconnected")
+
+    // a heading survives even when fully linked (headings exempt from
+    // link-density); a paragraph that is one big link does not
+    val t6 = MainContent.extract(
+      "<article><h2><a href='/x'>Linked Heading</a></h2>" +
+        "<p><a href='/y'>entirely a link paragraph</a></p>" +
+        "<p>normal text paragraph here</p></article>")
+    assert(t6.text == "Linked Heading\n\nnormal text paragraph here")
+  }
+
   // ---- PDF round-trip ----
 
   test("pdf: generator → parser round-trips page texts (ascii + CJK)") {
