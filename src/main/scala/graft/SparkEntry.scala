@@ -131,7 +131,8 @@ object SparkEntry {
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
       "text_top_tokens" -> ((s, dir) => TextAnalysis.textTopTokens(s, dir)),
       "text_langid" -> ((s, dir) => TextAnalysis.textLangid(s, dir)),
-      "text_fingerprint" -> ((s, dir) => TextAnalysis.textFingerprint(s, dir))
+      "text_fingerprint" -> ((s, dir) => TextAnalysis.textFingerprint(s, dir)),
+      "corpus_split" -> ((s, dir) => TextAnalysis.corpusSplit(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -153,6 +154,7 @@ object SparkEntry {
       "ann_bruteforce" -> Similarity.annBruteForceSql,
       "text_stats" -> TextAnalysis.textStatsSql,
       "text_quality" -> TextAnalysis.textQualitySql,
-      "text_top_tokens" -> TextAnalysis.textTopTokensSql
+      "text_top_tokens" -> TextAnalysis.textTopTokensSql,
+      "corpus_split" -> TextAnalysis.corpusSplitSql
     )
 }

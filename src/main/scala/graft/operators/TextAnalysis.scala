@@ -108,6 +108,30 @@ object TextAnalysis {
       | SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents) t
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** Deterministic train/val/test split assignment — every corpus needs
+    * one, and it must be a pure function of a stable key (NOT random:
+    * reruns, resumes, and incremental appends must land each doc in the
+    * same split). Knuth multiplicative hashing on doc_id keeps the
+    * assignment integer-exact across engines (oracle-checked).
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = (col("doc_id") * lit(2654435761L)) % 1000
+    val split = when(h < 850, "train").when(h < 925, "validation").otherwise("test")
+    Relational.table(s, dir, "documents")
+      .withColumn("split", split)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val corpusSplitSql: String =
+    """SELECT lang,
+      | CASE WHEN (doc_id * 2654435761) % 1000 < 850 THEN 'train'
+      |      WHEN (doc_id * 2654435761) % 1000 < 925 THEN 'validation'
+      |      ELSE 'test' END AS split,
+      | count(*) AS n_docs, sum(n_chars) AS n_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // ------------------------------------------------------------------
   // Language ID (heuristic kernel; rows-only check + spec)
   // ------------------------------------------------------------------
