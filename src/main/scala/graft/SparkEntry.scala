@@ -34,34 +34,47 @@ object SparkEntry {
       .orderBy(col("lang"), col("status"))
   }
 
+  /** The extraction-family queries all consume the same extracted table;
+    * materialize it once per (jvm, input dir) so a Verify run doesn't pay
+    * the kernel once per query. Same rows either way — the kernel is
+    * deterministic (asserted across parallelism levels).
+    */
+  private val extractCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cachedExtract(s: SparkSession, dir: String): DataFrame = {
+    val path = extractCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft_extract_cache")
+        .resolve("extracted").toString
+      ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
+        .write.parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val extraction: Map[String, (SparkSession, String) => DataFrame] = Map(
       // ---- extraction pipeline (A1-A11; byte contract via KernelSpec golden tests) ----
-      "extract_main" -> ((s, dir) => {
-        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-        extracted.toDF().select("url", "status", "text", "error",
-          "n_pages", "n_failed_pages", "engine", "bucket")
-      }),
-      "extract_spans" -> ((s, dir) => {
-        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-        extracted.toDF()
+      "extract_main" -> ((s, dir) =>
+        cachedExtract(s, dir).select("url", "status", "text", "error",
+          "n_pages", "n_failed_pages", "engine", "bucket")),
+      "extract_spans" -> ((s, dir) =>
+        cachedExtract(s, dir)
           .select(col("url"), explode(col("spans")).as("span"))
           .select(col("url"), col("span.start").as("start"),
-            col("span.end").as("end"), col("span.kind").as("kind"))
-      }),
+            col("span.end").as("end"), col("span.kind").as("kind"))),
       "extract_lineage" -> ((s, dir) => {
-        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-        ExtractJob.lineage(extracted, snapshotId = 1L)
+        import s.implicits._
+        ExtractJob.lineage(cachedExtract(s, dir).as[graft.model.Extracted], snapshotId = 1L)
       }),
       "extract_by_host" -> ((s, dir) => {
-        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-        ExtractJob.metricsByHost(extracted)
+        import s.implicits._
+        ExtractJob.metricsByHost(cachedExtract(s, dir).as[graft.model.Extracted])
       }),
       "extract_golden_check" -> ((s, dir) => {
         // byte-identity summary vs golden-by-construction fixtures:
         // n_mismatched MUST be 0 (also asserted per-url in KernelSpec)
-        val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32).toDF()
+        val extracted = cachedExtract(s, dir)
         val golden = PageSynth.golden(s, dir).toDF()
         extracted.join(golden, Seq("url"))
           .agg(
