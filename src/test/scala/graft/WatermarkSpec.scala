@@ -52,6 +52,53 @@ class WatermarkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark drops a re-crawled url") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "url")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("url")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(ts(1) -> "https://a/1", ts(2) -> "https://a/2")
+      q.processAllAvailable()
+      // the same url re-arrives within the watermark window → dropped
+      input.addData(ts(3) -> "https://a/1", ts(4) -> "https://a/3")
+      q.processAllAvailable()
+      val urls = spark.table("dedup_stream").select(col("url"))
+        .as[String].collect().sorted.toSeq
+      assert(urls == Seq("https://a/1", "https://a/2", "https://a/3"))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: stateful threshold alerts across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val alerts = input.toDS()
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[String], st: GroupState[Long]) =>
+          val total = st.getOption.getOrElse(0L) + it.size
+          st.update(total)
+          if (total >= 3) Iterator((k, total)) else Iterator.empty
+      }
+    val q = alerts.toDF("k", "n").writeStream
+      .format("memory").queryName("alert_stream").outputMode("update").start()
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      assert(spark.table("alert_stream").count() == 0) // nothing crossed 3 yet
+      input.addData("a", "b")
+      q.processAllAvailable()
+      val rows = spark.table("alert_stream").as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 3L))) // only 'a' crossed the threshold
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState: per-key state persists across micro-batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import spark.implicits._
