@@ -72,6 +72,7 @@ object CorpusPipeline {
         .as("p"))
       .select(col("p.url_a"), col("p.url_b"))
       .distinct()
+      .localCheckpoint() // consumed by the gate and the verify join
     val candUrls = cand.select(col("url_a").as("url"))
       .union(cand.select(col("url_b").as("url"))).distinct()
     val toks = docsForLsh

@@ -218,6 +218,9 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      // the candidate set is consumed three times below (doc gate + both
+      // sides of the verify join) — materialize it once, it's tiny
+      .localCheckpoint()
     // exact verify on candidates only: shingles exploded JUST for docs
     // appearing in some candidate pair (broadcast semi-join gate)
     val candDocs = cand.select(col("id_a").as("doc_id"))

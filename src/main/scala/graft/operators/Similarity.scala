@@ -178,27 +178,42 @@ object Similarity {
     * signature. Recall is measured against brute force in OperatorsSpec.
     */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val (q, e) = queriesAndCorpus(s, dir)
-    val tableBuckets = array((0 until Tables).map(t =>
-      struct(lit(t).as("t"), lshSignatureCol(col("e"), Dims, t).as("b"))): _*)
-    val corpus = e
-      .withColumn("tb", explode(tableBuckets))
-      .select(col("vec_id"), col("e"), col("nrm"), col("tb.t").as("t"), col("tb.b").as("bucket"))
-    val probeArr = array((0 until Tables).flatMap { t =>
-      val sig = lshSignatureCol(col("qe"), Dims, t)
-      (0 to Planes).map { i =>
-        val probe = if (i == 0) sig else sig.bitwiseXOR(lit(1 << (i - 1)))
-        struct(lit(t).as("t"), probe.as("b"))
+    // All L signatures in one typed pass: expressing 64 plane-dots as
+    // nested zip_with/aggregate expressions blows up the generated code
+    // (measured ~3× slower than this flatMap); lshSignatureCol remains
+    // the expression form and its equality with lshSignature is
+    // spec-asserted.
+    val corpus = e.select(col("vec_id"), col("e"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        (0 until Tables).map(t => (id, t, lshSignature(v, t)))
       }
-    }: _*)
-    val probes = q
-      .withColumn("pb", explode(probeArr))
-      .select(col("qid"), col("qe"), col("qn"), col("pb.t").as("t"), col("pb.b").as("probe"))
+      .toDF("vec_id", "t", "bucket")
+    val probes = q.select(col("qid"), col("qe"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        for {
+          t <- 0 until Tables
+          sig = lshSignature(v, t)
+          i <- 0 to Planes
+        } yield (id, t, if (i == 0) sig else sig ^ (1 << (i - 1)))
+      }
+      .toDF("qid", "t", "probe")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(probes), col("bucket") === col("probe") && corpus("t") === probes("t"))
+    // dedupe candidate PAIRS on ids only (a pair colliding in several
+    // tables scores once) — deduping rows that still carry the embedding
+    // arrays would hash every 64-dim vector per collision
+    val candPairs = corpus
+      .join(broadcast(probes.select(col("qid"), col("t"), col("probe"))),
+        col("bucket") === col("probe") && corpus("t") === probes("t"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("e"), col("nrm"), col("qe"), col("qn"))
-      .distinct() // a pair colliding in several tables scores once
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    candPairs
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
       .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
