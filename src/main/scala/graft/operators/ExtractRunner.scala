@@ -124,11 +124,15 @@ object ExtractRunner {
     val outRoot = args(1)
     val buckets = if (args.length > 2) args(2).toInt else ExtractJob.DefaultBuckets
     val engine = if (args.length > 3) args(3) else "standard"
-    val spark = GraftConf(SparkSession.builder()
+    val builder = GraftConf(SparkSession.builder()
       .appName("graft-extract")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic"))
+    // spark-submit injects spark.master; running the main directly
+    // (sbt runMain) falls back to local
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     val report = run(spark, pagesDir, outRoot, buckets,
       ExtractKernel.Profile(engine))

@@ -152,13 +152,23 @@ object Similarity {
     import s.implicits._
     val cents = ivfCentroids(s, dir)
     val (q, e) = queriesAndCorpus(s, dir)
-    val cellOf = udf((v: Seq[Double]) => nearestCells(v, cents, 1).head)
-    val probesOf = udf((v: Seq[Double]) => nearestCells(v, cents, IvfProbes))
-    val corpus = e.withColumn("cell", cellOf(col("e")))
-    val probes = q.withColumn("cell", explode(probesOf(col("qe"))))
+    // cell assignment as typed maps (closure-captured centroid codebook —
+    // the same shape the LSH path uses; no UDF registry involvement)
+    val corpusCells = e.select(col("vec_id"), col("e"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, nearestCells(v, cents, 1).head) }
+      .toDF("vec_id", "cell")
+    val probeCells = q.select(col("qid"), col("qe"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) => nearestCells(v, cents, IvfProbes).map(c => (id, c)) }
+      .toDF("qid", "cell")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    corpus.join(broadcast(probes), Seq("cell"))
+    corpusCells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
       .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
