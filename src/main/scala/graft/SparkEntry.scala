@@ -65,7 +65,10 @@ object SparkEntry {
             col("span.end").as("end"), col("span.kind").as("kind"))),
       "extract_lineage" -> ((s, dir) => {
         import s.implicits._
+        // failure_samples is an array in the lineage table; serialize it
+        // for the driver compare (pandas cannot sort/hash array cells)
         ExtractJob.lineage(cachedExtract(s, dir).as[graft.model.Extracted], snapshotId = 1L)
+          .withColumn("failure_samples", array_join(col("failure_samples"), "|"))
       }),
       "extract_by_host" -> ((s, dir) => {
         import s.implicits._

@@ -36,6 +36,35 @@ object Dedup {
 
   val JaccardThreshold = 0.6
 
+  /** Bucket-cap drop counter: when LSH banding drops an over-cap bucket
+    * (degenerate content), the drop must be observable, not silent. One
+    * counter per sketch family, refreshed per run on the driver (the
+    * count is a tiny agg over the already-checkpointed ≥2-doc buckets).
+    */
+  final class DropCounter(val name: String) {
+    private val buckets = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private val docSlots = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def set(b: Long, d: Long): Unit = { buckets.set(b); docSlots.set(d) }
+    /** buckets dropped in the most recent run; -1 = no run yet */
+    def droppedBuckets: Long = buckets.get
+    /** doc slots inside dropped buckets in the most recent run */
+    def droppedDocSlots: Long = docSlots.get
+  }
+  val MinhashDrops = new DropCounter("dedup_minhash_lsh")
+  val SimhashDrops = new DropCounter("dedup_simhash")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Count and record over-cap buckets from a (…, ids) grouped frame. */
+  private def recordDrops(c: DropCounter, grouped: DataFrame, maxBucket: Int): Unit = {
+    val row = grouped.filter(size(col("ids")) > maxBucket)
+      .agg(count(lit(1)), coalesce(sum(size(col("ids")).cast("long")), lit(0L))).collect()(0)
+    c.set(row.getLong(0), row.getLong(1))
+    if (row.getLong(0) > 0)
+      log.warn(s"[${c.name}] bucket cap $maxBucket dropped ${row.getLong(0)} " +
+        s"buckets covering ${row.getLong(1)} doc slots")
+  }
+
   /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated). */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -194,8 +223,9 @@ object Dedup {
     * (b) the verification join, which explodes shingles ONLY for docs
     * that appear in some candidate pair (a vanishing fraction of a real
     * corpus). Buckets with > maxBucket docs are dropped (degenerate
-    * shingle content — same role as a stopword cap), logged via lineage
-    * at scale.
+    * shingle content — same role as a stopword cap); the drop is COUNTED,
+    * not silent: `MinhashDrops` records (buckets, doc slots) per run and
+    * the count is logged (no-silent-caps rule).
     */
   def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
     import s.implicits._
@@ -208,10 +238,16 @@ object Dedup {
         (0 until Bands).map(b => (id, b, bandHash(sig, b)))
       }
       .toDF("doc_id", "band", "bucket")
-    // candidate pairs: co-bucketed docs (distinct across bands)
-    val byBucket = bands.groupBy(col("band"), col("bucket"))
+    // candidate pairs: co-bucketed docs (distinct across bands). Buckets
+    // holding >1 doc are a vanishing fraction of all buckets → checkpoint
+    // that small set once, then derive both the drop counter and the
+    // candidate pairs from it without recomputing signatures.
+    val grouped = bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint()
+    recordDrops(MinhashDrops, grouped, maxBucket)
+    val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     val cand = byBucket
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
@@ -236,10 +272,14 @@ object Dedup {
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")), 3))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // threshold on the UNROUNDED ratio (rounding first would admit
+      // J ∈ [0.5995, 0.6) pairs the exact dedupNgramJaccard path rejects —
+      // the two strategies must agree on the same corpus); round only in
+      // the output projection
+      .withColumn("jaccard_raw",
+        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("jaccard_raw") >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 3).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -364,9 +404,12 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
           "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))
       .select(col("doc_id"), col("sig"), col("p.chunk"), col("p.v"))
-    val byBucket = chunks.groupBy(col("chunk"), col("v"))
+    val grouped = chunks.groupBy(col("chunk"), col("v"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint()
+    recordDrops(SimhashDrops, grouped, maxBucket)
+    val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     byBucket
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x.doc_id AS id_a, x.sig AS sig_a, y.doc_id AS id_b, y.sig AS sig_b))))"))

@@ -161,7 +161,7 @@ object Relational {
 
   val qWindowLagSql: String =
     """SELECT user_id, count(gap_s) AS n_gaps, max(gap_s) AS max_gap_s,
-      | sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS n_session_breaks
+      | CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_session_breaks
       |FROM (
       | SELECT user_id,
       |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
@@ -251,7 +251,7 @@ object Relational {
 
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      | sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       | max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -305,19 +305,22 @@ object Relational {
       | round(sum(abs(l_extendedprice) * l_tax), 2) AS sum_tax_amt
       |FROM lineitem GROUP BY 1 ORDER BY disc_band""".stripMargin
 
-  /** Array aggregation: sorted list of nation's supplier names (array
-    * column in the output, hash-compared element-wise by the driver).
+  /** Array aggregation: sorted list of nation's supplier names. The array
+    * is built with collect_list + sort_array (the operator under test), then
+    * serialized with array_join for the compare — the driver's pandas sort
+    * cannot hash raw array cells (round-1 ERR), and joining to a string
+    * compares the identical semantics.
     */
   def qArrayAgg(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "supplier")
       .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sort_array(collect_list(col("s_name"))).as("suppliers"),
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"),
         count(lit(1)).as("n"))
       .orderBy(col("n_name"))
 
   val qArrayAggSql: String =
-    """SELECT n_name, list_sort(list(s_name)) AS suppliers, count(*) AS n
+    """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS suppliers, count(*) AS n
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
@@ -376,9 +379,9 @@ object Relational {
 
   val qPivotSql: String =
     """SELECT o_orderpriority,
-      | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      | sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
   /** Cube (all grouping-set combinations). */

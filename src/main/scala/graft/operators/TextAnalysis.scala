@@ -112,10 +112,15 @@ object TextAnalysis {
     * one, and it must be a pure function of a stable key (NOT random:
     * reruns, resumes, and incremental appends must land each doc in the
     * same split). Knuth multiplicative hashing on doc_id keeps the
-    * assignment integer-exact across engines (oracle-checked).
+    * assignment integer-exact across engines (oracle-checked). doc_id is
+    * reduced mod a prime (1000003) BEFORE the multiply so the product
+    * stays < 2^63 for any doc_id — at 10^12-doc scale a raw
+    * doc_id * 2654435761 overflows Long (Spark wraps silently, DuckDB
+    * raises), which would break cross-engine determinism exactly where
+    * it matters.
     */
   def corpusSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = (col("doc_id") * lit(2654435761L)) % 1000
+    val h = ((col("doc_id") % 1000003L) * lit(2654435761L)) % 1000
     val split = when(h < 850, "train").when(h < 925, "validation").otherwise("test")
     Relational.table(s, dir, "documents")
       .withColumn("split", split)
@@ -126,10 +131,10 @@ object TextAnalysis {
 
   val corpusSplitSql: String =
     """SELECT lang,
-      | CASE WHEN (doc_id * 2654435761) % 1000 < 850 THEN 'train'
-      |      WHEN (doc_id * 2654435761) % 1000 < 925 THEN 'validation'
+      | CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 850 THEN 'train'
+      |      WHEN ((doc_id % 1000003) * 2654435761) % 1000 < 925 THEN 'validation'
       |      ELSE 'test' END AS split,
-      | count(*) AS n_docs, sum(n_chars) AS n_chars
+      | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   // ------------------------------------------------------------------

@@ -40,3 +40,4 @@ for name in sorted(oracle):
     except Exception as e:
         print(f'ERR  {name}: {str(e)[:200]}'); fails += 1
 print('FAILS:', fails)
+sys.exit(1 if fails else 0)
