@@ -142,6 +142,14 @@ object HtmlTokenizer {
       }
     }
 
+    // Whitespace in TAG SYNTAX is the ASCII set only — identical to the
+    // byte path's isWsB. (HTML5 tag/attribute whitespace is ASCII; using
+    // Character.isWhitespace here made the two public tokenize() paths
+    // disagree on inputs with U+2028/U+2000-200A etc. adjacent to attr
+    // names/values — the "identical tokens on EVERY input" contract.)
+    def isWsS(c: Char): Boolean =
+      c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f)
+
     // parse attributes from i until '>' (or EOF); returns (classId, selfClosing, nextIndex)
     def attrs(from: Int): (String, Boolean, Int) = {
       var j = from
@@ -150,18 +158,18 @@ object HtmlTokenizer {
       while (j < n && html.charAt(j) != '>') {
         val c = html.charAt(j)
         if (c == '/') { self = true; j += 1 }
-        else if (c.isWhitespace) j += 1
+        else if (isWsS(c)) j += 1
         else if (isNameStart(c)) {
           val a0 = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           // only class/id attributes matter — compare in place, no substring
           val wanted = lowerRegionEquals(html, a0, j, "class") ||
             lowerRegionEquals(html, a0, j, "id")
-          while (j < n && html.charAt(j).isWhitespace) j += 1
+          while (j < n && isWsS(html.charAt(j))) j += 1
           var value = ""
           if (j < n && html.charAt(j) == '=') {
             j += 1
-            while (j < n && html.charAt(j).isWhitespace) j += 1
+            while (j < n && isWsS(html.charAt(j))) j += 1
             if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
               val q = html.charAt(j); j += 1
               val v0 = j
@@ -170,7 +178,7 @@ object HtmlTokenizer {
               if (j < n) j += 1
             } else {
               val v0 = j
-              while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
+              while (j < n && !isWsS(html.charAt(j)) && html.charAt(j) != '>') j += 1
               if (wanted) value = html.substring(v0, j)
             }
           }

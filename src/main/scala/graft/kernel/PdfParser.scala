@@ -430,6 +430,16 @@ object PdfParser {
     * native zlib context per page stream serializes on native allocation
     * at 32 threads (measured: PDF path scaled 6× vs HTML's 17× before
     * this).
+    *
+    * Lifecycle note (deliberate tradeoff): these Inflaters are never
+    * end()ed, so each pool thread pins ONE native zlib context (~32 KB)
+    * for the executor lifetime. Spark executor task pools are fixed-size
+    * and long-lived, so the steady-state native footprint is
+    * cores × 32 KB — bounded and reused, which is the point. Do NOT
+    * end() on task completion: the same pool thread runs the next task
+    * and would pay the native-alloc serialization again. If this kernel
+    * is ever hosted on an unbounded/cached thread pool, swap the
+    * ThreadLocal for a small bounded object pool that end()s on eviction.
     */
   private val threadInflater: ThreadLocal[Inflater] =
     ThreadLocal.withInitial(() => new Inflater())

@@ -26,7 +26,12 @@ class PropertiesSpec extends AnyFunSuite {
       Gen.oneOf("<", ">", "&", "&amp;", "&#65;", "&#x41;", "&bogus;", "<!--", "-->",
         "<p>", "</p>", "<div class=\"x\">", "</div>", "<a href='/x'>", "</a>",
         "<script>", "</script>", "<br/>", "<P CLASS=Y>", "</ SPAN>", "<!doctype html>",
-        "<li>", "<td>", " ", "中文", "\n\t ", "<<<>>>", "='\"", "<x-custom>"),
+        "<li>", "<td>", " ", "中文", "\n\t ", "<<<>>>", "='\"", "<x-custom>",
+        // non-ASCII Unicode whitespace adjacent to attr names/values — NOT
+        // tag-syntax whitespace (HTML5 syntax ws is ASCII-only); both
+        // tokenizer paths must agree on these
+        "<p a=b />", "<div class =\"art\">", "<p class= 'x'>",
+        " ", " ", "　", " ", " ", " "),
       Gen.choose(0, 0x10FFFF).map(cp =>
         if (cp >= 0xD800 && cp <= 0xDFFF) "?" else new String(Character.toChars(cp)))
     )
@@ -51,6 +56,20 @@ class PropertiesSpec extends AnyFunSuite {
       HtmlTokenizer.tokenizeBytes(b) ==
         HtmlTokenizer.tokenize(new String(b, "UTF-8"))
     })
+  }
+
+  test("tokenizer: Unicode whitespace in tag syntax — byte/string parity (round-2 advice repros)") {
+    // U+2028 etc. are NOT HTML5 tag-syntax whitespace; both paths must treat
+    // them as ordinary chars (round 1 diverged: string path used
+    // Character.isWhitespace, byte path ASCII-only)
+    val repros = Seq(
+      "<p a=b />", "<div class =\"art\">x</div>",
+      "<p class= 'x'>y</p>", "<a href=　'/z'>w</a>",
+      "<div class=\"a b\">t</div>")
+    repros.foreach { s =>
+      assert(HtmlTokenizer.tokenize(s) == HtmlTokenizer.tokenizeBytes(s.getBytes("UTF-8")),
+        s"paths diverge on: ${s.map(c => f"$c%c(${c.toInt}%04x)").mkString}")
+    }
   }
 
   test("dom arena: parent strictly precedes child; sibling chains acyclic; well-formed for any input") {
