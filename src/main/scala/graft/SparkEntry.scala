@@ -107,8 +107,12 @@ object SparkEntry {
         Seq(
           ("standard", Profile("standard")),
           ("llm", Profile("llm")),
+          ("llm_faulty", Profile("llm", "faulty")), // A6 envelope-fault slice
+          ("ollama_plain_text", Profile("ollama", "plain_text")),
           ("ollama_markdown", Profile("ollama", "markdown")),
-          ("ollama_json", Profile("ollama", "json"))
+          ("ollama_json", Profile("ollama", "json")),
+          ("ollama_structured", Profile("ollama", "structured")),
+          ("ollama_key_value", Profile("ollama", "key_value"))
         ).map { case (name, prof) =>
           ExtractJob.extract(s, pages, buckets = 32, profile = prof).toDF()
             .agg(count(lit(1)).as("n_docs"),

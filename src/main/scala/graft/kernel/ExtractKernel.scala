@@ -28,12 +28,18 @@ import org.apache.spark.TaskContext
   * Engine profiles mirror the reference's three engines as deterministic
   * kernel variants (no external calls in this engine):
   *   - "standard": plain extraction (the tesseract path)
-  *   - "llm":      A6 semantics — an empty extraction result becomes the
-  *                 fixed literal "API响应中提取到的文本内容为空"
-  *                 (llm_service.py:302), never an exception
-  *   - "ollama":   output_format serializers over the same extraction
-  *                 (ollama_ocr_service.py:40-46 prompt templates →
-  *                 plain_text / markdown / json here)
+  *   - "llm":      A6 semantics — every per-unit result passes through the
+  *                 defensive response ladder (LlmResponseModel, an
+  *                 executable spec of llm_service.py:255-317): empty
+  *                 extraction → "API响应中没有找到文本内容" (:290),
+  *                 extraction exception → "提取文本内容失败: {msg}" (:317),
+  *                 never a thrown error. Profile("llm", "faulty") adds
+  *                 deterministic envelope-degradation so the remaining
+  *                 ladder literals (:272 bad-format, :302 empty-after-
+  *                 coercion) are reachable as pipeline data.
+  *   - "ollama":   output_format serializers over the same extraction —
+  *                 all 5 reference templates (ollama_ocr_service.py:40-46):
+  *                 plain_text / markdown / json / structured / key_value
   */
 object ExtractKernel {
 
@@ -94,14 +100,17 @@ object ExtractKernel {
     try {
       val res = MainContent.extractBytes(b,
         if (arena == null) new DomArena() else arena)
-      val text = serialize(res, profile)
+      val text = serialize(p.url, res, profile)
       Extracted(p.url, Completed, text, res.spans, "", 1, 0, profile.engine, bucket)
     } catch {
       case e: Exception =>
         // A3 contract: never die on a bad unit — fall back like
-        // preprocess_image's "use original image" (ocr_service.py:110-112)
+        // preprocess_image's "use original image" (ocr_service.py:110-112).
+        // llm profile: the ladder's catch-all literal IS the result text
+        // (llm_service.py:312-317) — the task completes.
         if (profile.engine == "llm")
-          Extracted(p.url, Completed, MergeSpec.LlmNoText, Seq.empty, "", 1, 0, profile.engine, bucket)
+          Extracted(p.url, Completed, LlmResponseModel.extractFailed(e.getMessage),
+            Seq.empty, "", 1, 0, profile.engine, bucket)
         else
           Extracted(p.url, Failed, "", Seq.empty,
             s"图片OCR处理失败: ${e.getMessage}", 1, 1, profile.engine, bucket)
@@ -116,18 +125,30 @@ object ExtractKernel {
           return Extracted(p.url, Failed, "", Seq.empty,
             s"PDF处理失败: ${e.getMessage}", 0, 0, profile.engine, bucket)
       }
-    // per-page llm-profile fallback literal (A6) applies to empty page text
-    val withProfile = pagesE.map {
-      case Right(t) if profile.engine == "llm" && t.isEmpty => Right(MergeSpec.LlmEmptyText)
-      case other => other
-    }
+    // llm profile: each page's text passes through the A6 response ladder
+    // (empty page → :290 literal; faulty profile → per-unit envelope faults)
+    val withProfile =
+      if (profile.engine != "llm") pagesE
+      else pagesE.zipWithIndex.map {
+        case (Right(t), i) => Right(llmUnitText(p.url, i, t, profile))
+        case (other, _) => other
+      }
     val (merged, nFailed, spans) = MergeSpec.mergePagesWithSpans(withProfile)
     Extracted(p.url, Completed, merged, spans, "", pagesE.length, nFailed,
       profile.engine, bucket)
   }
 
-  private def serialize(res: MainContent.Result, profile: Profile): String =
+  /** llm-profile per-unit text: wrap the extraction result in the modeled
+    * response envelope and run the A6 ladder (llm_service.py:255-317).
+    */
+  private def llmUnitText(url: String, unit: Int, extracted: String, profile: Profile): String =
+    LlmResponseModel.extractText(
+      LlmResponseModel.envelope(url, unit, extracted,
+        faulty = profile.outputFormat == "faulty"))
+
+  private def serialize(url: String, res: MainContent.Result, profile: Profile): String =
     profile.outputFormat match {
+      case _ if profile.engine == "llm" => llmUnitText(url, 0, res.text, profile)
       case "markdown" =>
         // ollama markdown template: headings bolded (ollama_ocr_service.py:42)
         val sb = new java.lang.StringBuilder(res.text.length + 16)
@@ -149,10 +170,41 @@ object ExtractKernel {
         }
         sb.append("]}")
         sb.toString
-      case _ =>
-        val t = res.text
-        if (t.isEmpty && profile.engine == "llm") MergeSpec.LlmEmptyText else t
+      case "structured" =>
+        // ollama structured template (ollama_ocr_service.py:44): identify
+        // 标题/段落/表格/列表 elements, keep original layout — rendered as a
+        // per-block element label in the reference's own vocabulary
+        val sb = new java.lang.StringBuilder(res.text.length + 32)
+        res.spans.zipWithIndex.foreach { case (s, i) =>
+          if (i > 0) sb.append("\n\n")
+          sb.append('[').append(structLabel(s.kind)).append("] ")
+            .append(res.text.substring(s.start.toInt, s.end.toInt))
+        }
+        sb.toString
+      case "key_value" =>
+        // ollama key_value template (ollama_ocr_service.py:45): "键: 值"
+        // lines — key = element kind + 1-based block index, value = the
+        // block text with internal newlines collapsed (one pair per line)
+        val sb = new java.lang.StringBuilder(res.text.length + 32)
+        res.spans.zipWithIndex.foreach { case (s, i) =>
+          if (i > 0) sb.append('\n')
+          sb.append(s.kind).append('_').append(i + 1).append(": ")
+            .append(res.text.substring(s.start.toInt, s.end.toInt)
+              .replace('\n', ' ').replace('\r', ' '))
+        }
+        sb.toString
+      case _ => res.text
     }
+
+  /** structured-format element label (the reference template's own element
+    * vocabulary: 标题/段落/表格/列表, ollama_ocr_service.py:44).
+    */
+  private def structLabel(kind: String): String = kind match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "title" => "标题"
+    case "li" | "ul" | "ol" | "dt" | "dd" => "列表"
+    case "td" | "th" | "tr" | "table" | "caption" => "表格"
+    case _ => "段落"
+  }
 
   private def jsonQuote(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)

@@ -77,6 +77,13 @@ object ExtractJob {
   /** Per-bucket lineage metrics (replaces the SQLite status table's
     * operational role — SURVEY.md §4.4). One row per bucket per snapshot.
     * failure_samples: bounded top-k of error strings per bucket.
+    *
+    * `status` carries the bucket's terminal state, mirroring the
+    * reference's 4-state task enum (task.py:8-12): rows written here are
+    * 'completed' (even when individual docs failed — doc failures are
+    * data, A9); an explicitly cancelled run writes 'cancelled' marks via
+    * `cancelledLineage` (routes.py:253 sets the same state); a crash
+    * writes nothing — so resume can distinguish cancel from crash.
     */
   def lineage(extracted: Dataset[Extracted], snapshotId: Long): DataFrame = {
     extracted.toDF()
@@ -91,8 +98,25 @@ object ExtractJob {
       )
       .withColumn("snapshot_id", lit(snapshotId))
       .withColumn("wall_ms", lit(-1L)) // filled by the writer wrapper
+      .withColumn("status", lit("completed"))
       .select("snapshot_id", "bucket", "doc_count", "byte_count",
-        "ok_count", "fail_count", "failure_samples", "wall_ms")
+        "ok_count", "fail_count", "failure_samples", "wall_ms", "status")
+  }
+
+  /** Lineage marks for buckets interrupted by an explicit cancel (A10):
+    * zero-count rows with status='cancelled'. Written by the runner when a
+    * job-group cancel lands mid-run; the resume filter ignores them (only
+    * 'completed' buckets are skipped), so a rerun reprocesses exactly the
+    * cancelled buckets — but an operator inspecting lineage can tell the
+    * run was cancelled, not crashed.
+    */
+  def cancelledLineage(spark: SparkSession, bucketsTodo: Seq[Int],
+      snapshotId: Long, wallMs: Long): DataFrame = {
+    import spark.implicits._
+    bucketsTodo
+      .map(b => (snapshotId, b, 0L, 0L, 0L, 0L, Seq.empty[String], wallMs, "cancelled"))
+      .toDF("snapshot_id", "bucket", "doc_count", "byte_count",
+        "ok_count", "fail_count", "failure_samples", "wall_ms", "status")
   }
 
   /** Resume: drop pages whose bucket already has a lineage row for this
@@ -106,8 +130,12 @@ object ExtractJob {
       snapshotId: Long,
       buckets: Int = DefaultBuckets): Dataset[Page] = {
     import spark.implicits._
-    val done = lineageDf
-      .filter(col("snapshot_id") === snapshotId)
+    val forSnapshot = lineageDf.filter(col("snapshot_id") === snapshotId)
+    // only COMPLETED buckets are skipped: 'cancelled' marks (A10) leave
+    // their buckets eligible for the resume run
+    val done = (if (forSnapshot.columns.contains("status"))
+        forSnapshot.filter(col("status") === "completed")
+      else forSnapshot)
       .select(col("bucket"))
       .distinct()
     pages

@@ -35,7 +35,33 @@ object ExtractRunner {
       snapshotId: Long,
       docsProcessed: Long,
       bucketsDone: Long,
-      wallMs: Long)
+      wallMs: Long,
+      cancelled: Boolean = false)
+
+  /** Job-group name for a run — `cancel(spark, snapshotId)` (or any
+    * cancelJobGroup on it) interrupts the run cooperatively; the kernel
+    * checks the interrupt between documents (A10).
+    */
+  def jobGroupFor(snapshotId: Long): String = s"graft-extract-$snapshotId"
+
+  /** The cancel endpoint analogue (routes.py:207-263): interrupt the run
+    * for this snapshot. The running `run()` writes status='cancelled'
+    * lineage marks for its in-flight buckets before returning.
+    */
+  def cancel(spark: SparkSession, snapshotId: Long): Unit =
+    spark.sparkContext.cancelJobGroup(jobGroupFor(snapshotId))
+
+  private def isCancellation(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel")) return true
+      if (t.isInstanceOf[InterruptedException] ||
+        t.isInstanceOf[org.apache.spark.TaskKilledException]) return true
+      t = if (t.getCause ne t) t.getCause else null
+    }
+    false
+  }
 
   def run(
       spark: SparkSession,
@@ -63,7 +89,27 @@ object ExtractRunner {
     // lineage from the written table so the lineage reflects exactly what
     // landed).
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
-    ExtractJob.writeExtracted(extracted, s"$outRoot/extracted")
+    spark.sparkContext.setJobGroup(jobGroupFor(snapshotId),
+      s"graft extraction snapshot=$snapshotId", interruptOnCancel = true)
+    try {
+      ExtractJob.writeExtracted(extracted, s"$outRoot/extracted")
+    } catch {
+      case e: Throwable if isCancellation(e) =>
+        // A10: cancel is a terminal STATE, not a crash (task.py:8-12,
+        // routes.py:253). The cancelled write job committed nothing (the
+        // parquet committer is job-atomic), so every todo bucket is marked
+        // — a resume reprocesses exactly these, and an operator can see
+        // the run was cancelled rather than dead.
+        spark.sparkContext.clearJobGroup()
+        val todoBuckets = todo
+          .select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
+          .as[Int].collect().toSeq.sorted
+        ExtractJob.cancelledLineage(spark, todoBuckets, snapshotId,
+            System.currentTimeMillis() - t0)
+          .write.mode(SaveMode.Append).parquet(lineagePath)
+        return RunReport(snapshotId, 0L, 0L,
+          System.currentTimeMillis() - t0, cancelled = true)
+    } finally spark.sparkContext.clearJobGroup()
 
     // lineage from what actually landed in this run's buckets
     val landed = spark.read.parquet(s"$outRoot/extracted")
@@ -74,7 +120,7 @@ object ExtractRunner {
       .join(runBuckets, Seq("bucket"), "left_semi")
       .withColumn("wall_ms", lit(wallMs))
       .select("snapshot_id", "bucket", "doc_count", "byte_count",
-        "ok_count", "fail_count", "failure_samples", "wall_ms")
+        "ok_count", "fail_count", "failure_samples", "wall_ms", "status")
     lineageRows.write.mode(SaveMode.Append).parquet(lineagePath)
 
     // stats from the landed lineage rows (recomputing them scans the tiny
@@ -107,16 +153,38 @@ object ExtractRunner {
         col("n_failed_pages"), col("engine"))
   }
 
+  /** Batch status lookup — the `POST /api/file/batch_status` analogue
+    * (reference caps it at 100 ids/request, API.md:468). One scan pruned
+    * to exactly the buckets the requested urls hash to (`isin` on the
+    * partition column prunes directories; the url `isin` pushes down
+    * within them).
+    */
+  def statusBatch(spark: SparkSession, outRoot: String, urls: Seq[String],
+      buckets: Int = ExtractJob.DefaultBuckets): DataFrame = {
+    require(urls.nonEmpty && urls.size <= 100,
+      s"batch status lookup takes 1..100 urls (API.md:468), got ${urls.size}")
+    val wanted = urls.distinct
+    val bucketIds = wanted
+      .map(u => java.lang.Math.floorMod(XxHash.hashUtf8(u), buckets.toLong).toInt)
+      .distinct
+    spark.read.parquet(s"$outRoot/extracted")
+      .filter(col("bucket").isin(bucketIds: _*) && col("url").isin(wanted: _*))
+      .select(col("url"), col("status"), col("error"), col("n_pages"),
+        col("n_failed_pages"), col("engine"))
+  }
+
   /** Operational status — the status endpoint's aggregate view, from
     * lineage alone (never scans the data table).
     */
   def jobStatus(spark: SparkSession, outRoot: String): DataFrame =
     spark.read.parquet(s"$outRoot/lineage")
       .groupBy(col("snapshot_id"))
-      .agg(count(lit(1)).as("buckets_done"),
+      .agg(
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("buckets_done"),
         sum(col("doc_count")).as("docs"),
         sum(col("ok_count")).as("ok"),
-        sum(col("fail_count")).as("failed"))
+        sum(col("fail_count")).as("failed"),
+        sum(when(col("status") === "cancelled", 1L).otherwise(0L)).as("buckets_cancelled"))
       .orderBy(col("snapshot_id"))
 
   def main(args: Array[String]): Unit = {

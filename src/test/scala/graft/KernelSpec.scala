@@ -175,14 +175,15 @@ class KernelSpec extends AnyFunSuite {
 
   // ---- engine profiles (A5-A7: llm defensive literals, ollama serializers) ----
 
-  test("profiles: llm empty-extraction literal; ollama markdown/json serializers") {
+  test("profiles: llm response ladder; ollama serializers (all 5 formats)") {
     import ExtractKernel.Profile
-    // a page that is ALL chrome → main content empty → llm profile must
-    // return the reference's fixed literal AS the text (llm_service.py:302),
-    // status completed, never an exception
+    // a page that is ALL chrome → main content empty → the llm profile's
+    // response ladder hits the falsy-content check (llm_service.py:288-290)
+    // and returns its fixed literal AS the text, status completed, never an
+    // exception
     val chromeOnly = "<html><body><nav><a href='/'>home</a></nav></body></html>".getBytes("UTF-8")
     val llm = ExtractKernel.extractOne(mkPage(chromeOnly), 0, Profile("llm"))
-    assert(llm.status == "completed" && llm.text == "API响应中提取到的文本内容为空")
+    assert(llm.status == "completed" && llm.text == "API响应中没有找到文本内容")
     // standard profile on the same page: empty text, still completed
     val std = ExtractKernel.extractOne(mkPage(chromeOnly), 0)
     assert(std.status == "completed" && std.text == "")
@@ -194,10 +195,47 @@ class KernelSpec extends AnyFunSuite {
     val js = ExtractKernel.extractOne(mkPage(article), 0, Profile("ollama", "json"))
     assert(js.text ==
       """{"blocks":[{"kind":"h1","text":"Title Here"},{"kind":"p","text":"Body text one"},{"kind":"p","text":"Body \"two\""}]}""")
+    // structured: element labels in the reference template's vocabulary
+    // (标题/段落/表格/列表, ollama_ocr_service.py:44)
+    val st = ExtractKernel.extractOne(mkPage(article), 0, Profile("ollama", "structured"))
+    assert(st.text == "[标题] Title Here\n\n[段落] Body text one\n\n[段落] Body \"two\"")
+    // key_value: '键: 值' lines (ollama_ocr_service.py:45)
+    val kv = ExtractKernel.extractOne(mkPage(article), 0, Profile("ollama", "key_value"))
+    assert(kv.text == "h1_1: Title Here\np_2: Body text one\np_3: Body \"two\"")
 
-    // llm PDF branch: empty page text → per-page literal in the merge
+    // llm PDF branch: empty page text → per-page :290 literal in the merge
     val llmPdf = ExtractKernel.extractOne(mkPage(PdfGen.build(Seq(""))), 0, Profile("llm"))
-    assert(llmPdf.text.startsWith("--- 第1页 ---\nAPI响应中提取到的文本内容为空"))
+    assert(llmPdf.text.startsWith("--- 第1页 ---\nAPI响应中没有找到文本内容"))
+  }
+
+  test("A6 ladder: every reference literal reachable, exact strings (llm_service.py:272-317)") {
+    import graft.kernel.LlmResponseModel._
+    // each row = (envelope shape, reference line, exact literal)
+    assert(extractText(NotDict) == "API响应格式无效，无法提取文本内容") // :272
+    assert(extractText(NoChoices) == "API响应中没有找到文本内容") // :278
+    assert(extractText(NoMessage) == "API响应中没有找到文本内容") // :284
+    assert(extractText(NoContent) == "API响应中没有找到文本内容") // :290
+    assert(extractText(Content("")) == "API响应中没有找到文本内容") // "" is falsy → :288-290
+    assert(extractText(NonStringContent("")) == "API响应中提取到的文本内容为空") // :302
+    assert(extractText(NonStringContent("[1, 2]")) == "[1, 2]") // str() coercion passthrough
+    assert(extractText(Content("real text")) == "real text")
+    assert(extractFailed("boom") == "提取文本内容失败: boom") // :317
+
+    // kernel integration: extraction exception under the llm profile maps
+    // to the :317 catch-all AS the result text (completed, not failed)
+    // — pinned via the ladder function, and the faulty profile makes the
+    // envelope shapes reachable as pipeline data:
+    val urls = (0 until 2000).map(i => s"https://ex.com/d$i")
+    val byLit = urls.groupBy(u => extractText(envelope(u, 0, "body", faulty = true)))
+    assert(byLit.keySet == Set(
+      "API响应格式无效，无法提取文本内容",
+      "API响应中没有找到文本内容",
+      "API响应中提取到的文本内容为空",
+      "body"))
+    // determinism: same url/unit → same envelope
+    urls.take(50).foreach { u =>
+      assert(envelope(u, 3, "x", faulty = true) == envelope(u, 3, "x", faulty = true))
+    }
   }
 
   // ---- synth → kernel golden equality (the byte contract) on handmade docs ----

@@ -63,8 +63,68 @@ class RunnerSpec extends AnyFunSuite {
       .select(col("url")).limit(1).as[String].collect()(0)
     val st = ExtractRunner.status(spark, s"$base/out", someUrl, buckets = 8).collect()
     assert(st.length == 1 && st(0).getAs[String]("url") == someUrl)
-    val js = ExtractRunner.jobStatus(spark, s"$base/out")
-      .as[(Long, Long, Long, Long, Long)].collect()
-    assert(js.length == 1 && js(0)._3 == 500) // one snapshot, 500 docs
+    val js = ExtractRunner.jobStatus(spark, s"$base/out").collect()
+    assert(js.length == 1 && js(0).getAs[Long]("docs") == 500)
+    assert(js(0).getAs[Long]("buckets_cancelled") == 0)
+
+    // batch status lookup (API.md:468 — up to 100 ids per request):
+    // bucket-pruned isin scan, one row per requested url
+    val someUrls = spark.read.parquet(s"$base/out/extracted")
+      .select(col("url")).limit(7).as[String].collect().toSeq
+    val bs = ExtractRunner.statusBatch(spark, s"$base/out", someUrls, buckets = 8).collect()
+    assert(bs.length == 7 && bs.map(_.getAs[String]("url")).toSet == someUrls.toSet)
+    assertThrows[IllegalArgumentException] {
+      ExtractRunner.statusBatch(spark, s"$base/out", (1 to 101).map(i => s"u$i"), buckets = 8)
+    }
+  }
+
+  test("runner: explicit cancel mid-run writes cancelled marks; rerun converges (A10)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val base = java.nio.file.Files.createTempDirectory("graft_cancel").toString
+    // a corpus big enough that the cancel reliably lands mid-write:
+    // sf0.01 pages × 5 url-disambiguated copies (~27.5k docs)
+    val p0 = PageSynth.pages(spark, "/root/testdata/sf0.01")
+    (0 until 5).map { i =>
+      p0.map(p => p.copy(url = p.url + s"?copy=$i"))
+    }.reduce(_.unionAll(_)).write.mode("overwrite").parquet(s"$base/pages")
+
+    val snapId = ExtractJob.snapshotIdOf(spark, s"$base/pages")
+    val group = ExtractRunner.jobGroupFor(snapId)
+    val fut = Future(ExtractRunner.run(spark, s"$base/pages", s"$base/out", buckets = 8))
+    // cancel as soon as the run's job group has a live job (the write job)
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 120000
+    while (tracker.getJobIdsForGroup(group).isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(2)
+    ExtractRunner.cancel(spark, snapId)
+    val r = Await.result(fut, 180.seconds)
+    assert(r.cancelled, "cancel must land while the write job is running")
+
+    // cancelled marks visible PRE-resume: status='cancelled' rows, zero
+    // completed — distinguishable from a crash (which writes nothing)
+    val lin = spark.read.parquet(s"$base/out/lineage")
+    assert(lin.filter(col("status") === "cancelled").count() == 8)
+    assert(lin.filter(col("status") === "completed").count() == 0)
+
+    // rerun processes the cancelled buckets and converges byte-identically
+    // to an uninterrupted run
+    val r2 = ExtractRunner.run(spark, s"$base/pages", s"$base/out", buckets = 8)
+    assert(!r2.cancelled && r2.bucketsDone == 8)
+    val ref = java.nio.file.Files.createTempDirectory("graft_cancel_ref").toString
+    ExtractRunner.run(spark, s"$base/pages", s"$ref/out", buckets = 8)
+    def tableOf(root: String) = spark.read.parquet(s"$root/extracted")
+      .select(col("url"), md5(col("text")).as("h"), col("status"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(tableOf(s"$base/out") == tableOf(s"$ref/out"),
+      "cancel+resume must converge to the uninterrupted result")
+
+    // jobStatus separates done from cancelled
+    val js = ExtractRunner.jobStatus(spark, s"$base/out").collect()(0)
+    assert(js.getAs[Long]("buckets_done") == 8 &&
+      js.getAs[Long]("buckets_cancelled") == 8)
   }
 }
