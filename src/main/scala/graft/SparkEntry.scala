@@ -34,22 +34,40 @@ object SparkEntry {
       .orderBy(col("lang"), col("status"))
   }
 
-  /** The extraction-family queries all consume the same extracted table;
-    * materialize it once per (jvm, input dir) so a Verify run doesn't pay
-    * the kernel once per query. Same rows either way — the kernel is
-    * deterministic (asserted across parallelism levels).
+  /** Kernel-stage outputs are materialized to a DETERMINISTIC path per
+    * input dir, for two reasons: (a) the extraction-family queries all
+    * consume the same extracted table, so a Verify run pays the kernel
+    * once, and (b) the materialized parquet is the ORACLE INPUT — the
+    * driver's DuckDB reads the same files via read_parquet() and
+    * independently recomputes the relational shape on top (explode, joins,
+    * aggs), turning the extraction family from rows-only checks into real
+    * oracle rows. The kernel itself stays spec-verified (golden
+    * byte-identity); the oracle verifies everything downstream of it.
     */
-  private val extractCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def cachedExtract(s: SparkSession, dir: String): DataFrame = {
-    val path = extractCache.getOrElseUpdate(dir, {
-      val p = java.nio.file.Files.createTempDirectory("graft_extract_cache")
-        .resolve("extracted").toString
-      ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32)
-        .write.parquet(p)
-      p
+  def oracleBase(dir: String): String =
+    s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+
+  private val matCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private def materialize(s: SparkSession, path: String)(df: => DataFrame): DataFrame = {
+    matCache.getOrElseUpdate(path, {
+      df.write.mode("overwrite").parquet(path)
     })
     s.read.parquet(path)
   }
+
+  private def cachedExtract(s: SparkSession, dir: String): DataFrame =
+    materialize(s, s"${oracleBase(dir)}/extracted") {
+      ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32).toDF()
+    }
+
+  private def mediaMetaMat(s: SparkSession, dir: String): DataFrame =
+    materialize(s, s"${oracleBase(dir)}/media_meta")(
+      Multimodal.mediaMeta(s, dir).toDF())
+
+  private def pipelineCorpusMat(s: SparkSession, dir: String): DataFrame =
+    materialize(s, s"${oracleBase(dir)}/pipeline_corpus")(
+      graft.operators.CorpusPipeline.corpus(s, dir)
+        .select("url", "is_exact_dup", "is_near_dup", "quality", "lang_pred", "keep"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -76,9 +94,13 @@ object SparkEntry {
       }),
       "extract_golden_check" -> ((s, dir) => {
         // byte-identity summary vs golden-by-construction fixtures:
-        // n_mismatched MUST be 0 (also asserted per-url in KernelSpec)
+        // n_mismatched MUST be 0 (also asserted per-url in KernelSpec).
+        // Both sides are materialized, so the DuckDB oracle re-does this
+        // byte comparison INDEPENDENTLY — a second engine attesting the
+        // byte contract.
         val extracted = cachedExtract(s, dir)
-        val golden = PageSynth.golden(s, dir).toDF()
+        val golden = materialize(s, s"${oracleBase(dir)}/golden")(
+          PageSynth.golden(s, dir).toDF())
         extracted.join(golden, Seq("url"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -90,7 +112,10 @@ object SparkEntry {
               col("error") =!= col("expected_error"), 1L).otherwise(0L)).as("n_mismatched"))
       }),
       "stream_extract_counts" -> ((s, dir) => {
-        // same kernel via Structured Streaming (Trigger.AvailableNow)
+        // same kernel via Structured Streaming (Trigger.AvailableNow).
+        // Oracle: the BATCH kernel's materialized output aggregated by
+        // DuckDB — a real streaming==batch cross-check.
+        cachedExtract(s, dir) // ensure the batch materialization exists
         val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
         PageSynth.pages(s, dir).write.mode("overwrite").parquet(s"$base/pages")
         StreamingExtract.runAvailableNow(s, s"$base/pages", "stream_extract")
@@ -101,39 +126,43 @@ object SparkEntry {
       }),
       "extract_profiles" -> ((s, dir) => {
         // the reference's three engines as deterministic kernel profiles
-        // (A4/A5/A7) + the ollama output_format serializers
-        import graft.kernel.ExtractKernel.Profile
-        val pages = PageSynth.pages(s, dir)
-        Seq(
-          ("standard", Profile("standard")),
-          ("llm", Profile("llm")),
-          ("llm_faulty", Profile("llm", "faulty")), // A6 envelope-fault slice
-          ("ollama_plain_text", Profile("ollama", "plain_text")),
-          ("ollama_markdown", Profile("ollama", "markdown")),
-          ("ollama_json", Profile("ollama", "json")),
-          ("ollama_structured", Profile("ollama", "structured")),
-          ("ollama_key_value", Profile("ollama", "key_value"))
-        ).map { case (name, prof) =>
-          ExtractJob.extract(s, pages, buckets = 32, profile = prof).toDF()
-            .agg(count(lit(1)).as("n_docs"),
-              sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
-              sum(length(col("text")).cast("long")).as("total_chars"))
-            .withColumn("profile", lit(name))
-        }.reduce(_.unionAll(_)).select("profile", "n_docs", "n_completed", "total_chars")
+        // (A4/A5/A7) + all 5 ollama output_format serializers + the A6
+        // envelope-fault slice. Per-profile rows are materialized so the
+        // oracle recomputes the aggregation independently.
+        val mat = materialize(s, s"${oracleBase(dir)}/profiles") {
+          import graft.kernel.ExtractKernel.Profile
+          val pages = PageSynth.pages(s, dir)
+          Seq(
+            ("standard", Profile("standard")),
+            ("llm", Profile("llm")),
+            ("llm_faulty", Profile("llm", "faulty")),
+            ("ollama_plain_text", Profile("ollama", "plain_text")),
+            ("ollama_markdown", Profile("ollama", "markdown")),
+            ("ollama_json", Profile("ollama", "json")),
+            ("ollama_structured", Profile("ollama", "structured")),
+            ("ollama_key_value", Profile("ollama", "key_value"))
+          ).map { case (name, prof) =>
+            ExtractJob.extract(s, pages, buckets = 32, profile = prof).toDF()
+              .select(lit(name).as("profile"), col("status"),
+                length(col("text")).as("n_chars"))
+          }.reduce(_.unionAll(_))
+        }
+        mat.groupBy(col("profile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
+            sum(col("n_chars").cast("long")).as("total_chars"))
           .orderBy(col("profile"))
       }),
       // ---- end-to-end training-corpus pipeline ----
-      "pipeline_corpus" -> ((s, dir) =>
-        graft.operators.CorpusPipeline.corpus(s, dir)
-          .select("url", "is_exact_dup", "is_near_dup", "quality", "lang_pred", "keep")
-          .orderBy(col("url"))),
-      "pipeline_funnel" -> ((s, dir) => graft.operators.CorpusPipeline.funnel(s, dir)),
+      "pipeline_corpus" -> ((s, dir) => pipelineCorpusMat(s, dir).orderBy(col("url"))),
+      "pipeline_funnel" -> ((s, dir) =>
+        graft.operators.CorpusPipeline.funnelFrom(s, pipelineCorpusMat(s, dir))),
       // ---- multimodal binary-column plumbing ----
       "mm_media_meta" -> ((s, dir) =>
-        Multimodal.mediaMeta(s, dir).toDF()
+        mediaMetaMat(s, dir)
           .select("url", "media_type", "n_bytes", "content_hash", "entropy_m",
             "width", "height", "decode_ok")),
-      "mm_triage" -> ((s, dir) => Multimodal.mediaTriage(s, dir)),
+      "mm_triage" -> ((s, dir) => Multimodal.mediaTriageFrom(mediaMetaMat(s, dir))),
       // ---- dedup family ----
       "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
       "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
@@ -150,8 +179,10 @@ object SparkEntry {
       "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
       "text_top_tokens" -> ((s, dir) => TextAnalysis.textTopTokens(s, dir)),
-      "text_langid" -> ((s, dir) => TextAnalysis.textLangid(s, dir)),
-      "text_fingerprint" -> ((s, dir) => TextAnalysis.textFingerprint(s, dir)),
+      "text_langid" -> ((s, dir) => TextAnalysis.langidConfusion(
+        materialize(s, s"${oracleBase(dir)}/langid_pairs")(TextAnalysis.langidPairs(s, dir)))),
+      "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(
+        materialize(s, s"${oracleBase(dir)}/fingerprints")(TextAnalysis.fingerprintPairs(s, dir)))),
       "corpus_split" -> ((s, dir) => TextAnalysis.corpusSplit(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
@@ -162,10 +193,98 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (extraction kernel, LSH sketches, heuristic kernels) → driver
-    * records a rows-only check; their contracts are covered by specs.
+    * (LSH sketches, approximate ANN, quantization) → driver records a
+    * rows-only check; their contracts are covered by specs.
+    *
+    * The driver runs Verify at sf0.01, so the static contract method
+    * points there; Verify itself dumps `oracleSqlFor(sfDir)` so the
+    * extraction-family oracles always reference the materialization the
+    * run just produced.
     */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(dir: String): Map[String, String] = {
+    val b = oracleBase(dir)
+    // materialized kernel outputs as DuckDB relations
+    def rp(sub: String) = s"read_parquet('$b/$sub/*.parquet')"
+    val extractionOracles = Map(
+      // kernel output read back verbatim (the kernel itself is verified by
+      // golden byte-identity in the specs; this pins serialization + the
+      // driver's hash over every row)
+      "extract_main" ->
+        s"""SELECT url, status, text, error, n_pages, n_failed_pages, engine, bucket
+           |FROM ${rp("extracted")}""".stripMargin,
+      // DuckDB independently re-explodes the span structs
+      "extract_spans" ->
+        s"""SELECT url, s.start AS start, s."end" AS "end", s.kind AS kind
+           |FROM (SELECT url, unnest(spans) AS s FROM ${rp("extracted")}) t""".stripMargin,
+      // host metrics: DuckDB recomputes host parse + aggs (the Spark side
+      // is the salted two-phase agg — same answer, different plan)
+      "extract_by_host" ->
+        s"""SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           | CAST(count(*) AS BIGINT) AS doc_count,
+           | CAST(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS ok_count,
+           | CAST(sum(length(text)) AS BIGINT) AS char_count
+           |FROM ${rp("extracted")} GROUP BY 1""".stripMargin,
+      // a SECOND ENGINE attests the byte contract: DuckDB joins extracted
+      // vs golden and compares text/status/error itself
+      "extract_golden_check" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(CASE WHEN e.text = g.expected_text AND e.status = g.expected_status
+           |   AND e.error = g.expected_error THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_identical,
+           | CAST(sum(CASE WHEN e.text <> g.expected_text OR e.status <> g.expected_status
+           |   OR e.error <> g.expected_error THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched
+           |FROM ${rp("extracted")} e JOIN ${rp("golden")} g USING (url)""".stripMargin,
+      "extract_lineage" ->
+        s"""SELECT CAST(1 AS BIGINT) AS snapshot_id, bucket,
+           | CAST(count(*) AS BIGINT) AS doc_count,
+           | CAST(sum(length(text)) AS BIGINT) AS byte_count,
+           | CAST(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS ok_count,
+           | CAST(sum(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,
+           | coalesce(array_to_string(
+           |   (list_sort(list(DISTINCT error) FILTER (WHERE status <> 'completed')))[1:5], '|'), '')
+           |   AS failure_samples,
+           | CAST(-1 AS BIGINT) AS wall_ms,
+           | 'completed' AS status
+           |FROM ${rp("extracted")} GROUP BY bucket""".stripMargin,
+      "extract_profiles" ->
+        s"""SELECT profile, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+           | CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM ${rp("profiles")} GROUP BY profile ORDER BY profile""".stripMargin,
+      // streaming==batch cross-check: the streamed counts must equal the
+      // batch kernel's materialized output aggregated by DuckDB
+      "stream_extract_counts" ->
+        s"""SELECT status, CAST(count(*) AS BIGINT) AS n,
+           | CAST(sum(n_pages) AS BIGINT) AS total_pages
+           |FROM ${rp("extracted")} GROUP BY status ORDER BY status""".stripMargin,
+      "mm_media_meta" ->
+        s"""SELECT url, media_type, n_bytes, content_hash, entropy_m, width, height, decode_ok
+           |FROM ${rp("media_meta")}""".stripMargin,
+      "mm_triage" ->
+        s"""SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           | CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+           | round(avg(entropy_m) / 1000.0, 2) AS avg_entropy_bits,
+           | CAST(count(DISTINCT content_hash) AS BIGINT) AS n_distinct_payloads
+           |FROM ${rp("media_meta")} GROUP BY media_type ORDER BY media_type""".stripMargin,
+      "text_fingerprint" ->
+        s"""SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n
+           |FROM ${rp("fingerprints")} GROUP BY fp ORDER BY keep_id""".stripMargin,
+      "text_langid" ->
+        s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+           |FROM ${rp("langid_pairs")} GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+      "pipeline_corpus" ->
+        s"""SELECT url, is_exact_dup, is_near_dup, quality, lang_pred, keep
+           |FROM ${rp("pipeline_corpus")} ORDER BY url""".stripMargin,
+      "pipeline_funnel" ->
+        s"""SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
+           | SELECT '1_extracted_ok' AS stage, count(*) AS n_docs FROM ${rp("pipeline_corpus")}
+           | UNION ALL SELECT '2_after_exact_dedup', count(*) FROM ${rp("pipeline_corpus")} WHERE NOT is_exact_dup
+           | UNION ALL SELECT '3_after_near_dedup', count(*) FROM ${rp("pipeline_corpus")} WHERE NOT is_exact_dup AND NOT is_near_dup
+           | UNION ALL SELECT '4_after_quality_filter', count(*) FROM ${rp("pipeline_corpus")} WHERE keep
+           |) t ORDER BY stage""".stripMargin
+    )
     Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++ Map(
       "dedup_exact" -> Dedup.dedupExactSql,
       "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
@@ -176,5 +295,6 @@ object SparkEntry {
       "text_quality" -> TextAnalysis.textQualitySql,
       "text_top_tokens" -> TextAnalysis.textTopTokensSql,
       "corpus_split" -> TextAnalysis.corpusSplitSql
-    )
+    ) ++ extractionOracles
+  }
 }

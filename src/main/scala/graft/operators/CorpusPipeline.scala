@@ -110,18 +110,21 @@ object CorpusPipeline {
   /** Per-stage funnel counts — the pipeline's publishable summary. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).cache()
-    try {
-      val total = c.count()
-      val afterExact = c.filter(!col("is_exact_dup")).count()
-      val afterNear = c.filter(!col("is_exact_dup") && !col("is_near_dup")).count()
-      val kept = c.filter(col("keep")).count()
-      import s.implicits._
-      Seq(
-        ("1_extracted_ok", total),
-        ("2_after_exact_dedup", afterExact),
-        ("3_after_near_dedup", afterNear),
-        ("4_after_quality_filter", kept)
-      ).toDF("stage", "n_docs").orderBy(col("stage"))
-    } finally { c.unpersist(): Unit }
+    try funnelFrom(s, c) finally { c.unpersist(): Unit }
+  }
+
+  /** Funnel counts from an already-computed (or materialized) corpus frame. */
+  def funnelFrom(s: SparkSession, c: DataFrame): DataFrame = {
+    val total = c.count()
+    val afterExact = c.filter(!col("is_exact_dup")).count()
+    val afterNear = c.filter(!col("is_exact_dup") && !col("is_near_dup")).count()
+    val kept = c.filter(col("keep")).count()
+    import s.implicits._
+    Seq(
+      ("1_extracted_ok", total),
+      ("2_after_exact_dedup", afterExact),
+      ("3_after_near_dedup", afterNear),
+      ("4_after_quality_filter", kept)
+    ).toDF("stage", "n_docs").orderBy(col("stage"))
   }
 }

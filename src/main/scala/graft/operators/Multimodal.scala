@@ -93,7 +93,11 @@ object Multimodal {
     * operator runs before scheduling decode budgets).
     */
   def mediaTriage(s: SparkSession, dir: String): DataFrame =
-    mediaMeta(s, dir).toDF()
+    mediaTriageFrom(mediaMeta(s, dir).toDF())
+
+  /** Triage agg from an already-computed (or materialized) meta frame. */
+  def mediaTriageFrom(meta: DataFrame): DataFrame =
+    meta
       .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),

@@ -213,7 +213,10 @@ object TextAnalysis {
     * encodes script-level signal (zh) + English vocabulary, so zh and en
     * are the assertable rows (see TextAnalysisSpec).
     */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
+  /** (lang, pred_lang) rows — the narrow kernel stage, exposed separately
+    * so the harness can materialize it and oracle-check the confusion agg.
+    */
+  def langidPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.sources.PageSynth.docs(s, dir)
       .map { d =>
@@ -221,10 +224,17 @@ object TextAnalysis {
         (d.lang, langIdOf(stripMergeChrome(extractedText)))
       }
       .toDF("lang", "pred_lang")
+  }
+
+  /** Confusion-matrix agg over (lang, pred_lang) pairs. */
+  def langidConfusion(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
-  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    langidConfusion(langidPairs(s, dir))
 
   // ------------------------------------------------------------------
   // Document fingerprint (rolling hash; rows-only check + spec)
@@ -253,17 +263,23 @@ object TextAnalysis {
     h
   }
 
-  /** Per-doc fingerprints with duplicate-group sizes (the join shape of an
-    * exact-dedup pass keyed by fingerprint instead of md5).
-    */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, fp) rows — the narrow kernel stage. */
+  def fingerprintPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = Relational.table(s, dir, "documents")
+    Relational.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, fingerprintOf(text)) }
       .toDF("doc_id", "fp")
-    fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
-      .orderBy(col("keep_id"))
   }
+
+  /** Duplicate-group agg over fingerprints (the join shape of an
+    * exact-dedup pass keyed by fingerprint instead of md5).
+    */
+  def fingerprintGroups(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("keep_id"))
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprintGroups(fingerprintPairs(s, dir))
 }
