@@ -109,7 +109,10 @@ object Dedup {
 
   /** (doc_id, shingle) exploded pairs. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
+    shingleRowsFrom(corpus(s, dir))
+
+  private def shingleRowsFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), explode(shinglesExpr).as("s"))
 
@@ -227,10 +230,24 @@ object Dedup {
     * not silent: `MinhashDrops` records (buckets, doc slots) per run and
     * the count is logged (no-silent-caps rule).
     */
-  def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame = {
+  /** Most recent LSH candidate-set size per family (observability at
+    * scale: candidate growth is THE health metric of a banding config —
+    * too low = recall loss, too high = verify-join blowup).
+    */
+  val MinhashCandidates = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame =
+    minhashLshPairsFrom(s, corpus(s, dir), maxBucket)
+
+  /** LSH near-dup pairs over an arbitrary (doc_id: Long, text: String)
+    * frame — the same operator the registered query uses, callable on the
+    * EXTRACTED corpus (bench + scale specs run it on extraction output
+    * with planted near-dups).
+    */
+  def minhashLshPairsFrom(s: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame = {
     import s.implicits._
     // narrow signature stage: no shuffle
-    val bands = corpus(s, dir)
+    val bands = docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -257,11 +274,12 @@ object Dedup {
       // the candidate set is consumed three times below (doc gate + both
       // sides of the verify join) — materialize it once, it's tiny
       .localCheckpoint()
+    MinhashCandidates.set(cand.count()) // cheap: counts the checkpoint
     // exact verify on candidates only: shingles exploded JUST for docs
     // appearing in some candidate pair (broadcast semi-join gate)
     val candDocs = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingleRows(s, dir)
+    val sh = shingleRowsFrom(docs)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
