@@ -170,6 +170,12 @@ object SparkEntry {
       "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
       "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
       "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+      // the SCALE path end-to-end: LSH pair set → distributed connected
+      // components; the materialized pair set lets DuckDB recompute the
+      // components with a recursive CTE (oracle-checked)
+      "dedup_clusters_lsh" -> ((s, dir) => Dedup.clustersFrom(s,
+        materialize(s, s"${oracleBase(dir)}/lsh_pairs")(
+          Dedup.dedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))))),
       // ---- similarity search ----
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
       "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -277,6 +283,24 @@ object SparkEntry {
       "pipeline_corpus" ->
         s"""SELECT url, is_exact_dup, is_near_dup, quality, lang_pred, keep
            |FROM ${rp("pipeline_corpus")} ORDER BY url""".stripMargin,
+      // DuckDB recomputes the connected components over the SAME LSH pair
+      // set with a recursive CTE — the scale path's cluster semantics,
+      // cross-engine-verified
+      "dedup_clusters_lsh" ->
+        s"""WITH bidir AS (
+           |  SELECT id_a AS u, id_b AS v FROM ${rp("lsh_pairs")}
+           |  UNION SELECT id_b, id_a FROM ${rp("lsh_pairs")}),
+           |rec AS (
+           |  WITH RECURSIVE reach(node, label) AS (
+           |    SELECT u, u FROM (SELECT u FROM bidir UNION SELECT v FROM bidir) t(u)
+           |    UNION
+           |    SELECT b.v, r.label FROM reach r JOIN bidir b ON b.u = r.node WHERE r.label < b.v
+           |  )
+           |  SELECT node, min(label) AS label FROM reach GROUP BY node
+           |)
+           |SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS size,
+           | min(node) AS min_doc, max(node) AS max_doc
+           |FROM rec GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_id""".stripMargin,
       "pipeline_funnel" ->
         s"""SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM (
            | SELECT '1_extracted_ok' AS stage, count(*) AS n_docs FROM ${rp("pipeline_corpus")}

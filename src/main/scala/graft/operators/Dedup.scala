@@ -343,12 +343,8 @@ object Dedup {
     labels
   }
 
-  /** Near-duplicate clusters: connected components over the exact-Jaccard
-    * pair set, summarized per cluster. (The LSH pair set feeds the same
-    * function at scale; the exact set keeps this query oracle-checkable.)
-    */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = dedupNgramJaccard(s, dir)
+  /** Cluster summary over any (id_a, id_b) edge frame. */
+  def clustersFrom(s: SparkSession, edges: DataFrame): DataFrame =
     connectedComponents(s, edges)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("size"),
@@ -356,7 +352,15 @@ object Dedup {
         max(col("node")).as("max_doc"))
       .filter(col("size") >= 2)
       .orderBy(col("cluster_id"))
-  }
+
+  /** Near-duplicate clusters: connected components over the exact-Jaccard
+    * pair set, summarized per cluster. The LSH pair set feeds the same
+    * function at scale — that variant is registered as dedup_clusters_lsh
+    * (oracle: DuckDB recursive CTE over the materialized LSH pairs), so
+    * the SCALE path is driver-verified too, not just this exact twin.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersFrom(s, dedupNgramJaccard(s, dir))
 
   val dedupClustersSql: String =
     s"""WITH all_docs AS ($corpusSql),

@@ -114,24 +114,62 @@ object Similarity {
   val IvfCells = 16
   /** Cells probed per query (nearest-centroid list). */
   val IvfProbes = 4
+  /** Lloyd iterations for codebook training. */
+  val IvfKmeansIters = 10
+  /** Codebook training-sample cap (vectors collected to the driver). */
+  val IvfTrainCap = 16384
 
-  /** Deterministic coarse quantizer: the centroid of cell c is the
-    * corpus vector with vec_id == c·(maxId/cells) — a fixed sample in
-    * lieu of k-means (no RNG, reproducible across runs; a trained
-    * codebook is a drop-in replacement). Returns (cellId, centroid).
+  /** Deterministic coarse quantizer: k-means (Lloyd) trained on a
+    * deterministic corpus sample held on the driver — the standard IVF
+    * codebook shape (FAISS trains on a sample too): at 10^12 vectors the
+    * index NEVER shuffles for training; only the ≤IvfTrainCap sample
+    * moves, and the trained codebook broadcasts back. No RNG anywhere:
+    * the sample is an id-stride slice and initialization is an
+    * equal-stride pick from it, so the codebook is bit-reproducible
+    * across runs and cluster sizes. Returns (cellId, centroid).
     */
   def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     import s.implicits._
     val e = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val n = e.agg(max(col("vec_id"))).as[Long].collect()(0) + 1
-    val stride = math.max(1L, n / IvfCells)
-    val wanted = (0 until IvfCells).map(c => c * stride).toSet
-    e.filter(col("vec_id").isin(wanted.toSeq: _*))
+    val n = e.agg(count(lit(1))).as[Long].collect()(0)
+    val stride = math.max(1L, n / IvfTrainCap)
+    val sample = e.filter(col("vec_id") % stride === 0)
       .as[(Long, Seq[Double])].collect()
       .sortBy(_._1)
-      .zipWithIndex
-      .map { case ((_, v), c) => (c, v.toArray) }
+      .map(_._2.toArray)
+    require(sample.length >= IvfCells, s"sample ${sample.length} < $IvfCells cells")
+    val dims = sample(0).length
+    // init: equal-stride pick over the (id-sorted) sample
+    var cents = Array.tabulate(IvfCells)(c => sample(c * sample.length / IvfCells).clone())
+    var iter = 0
+    while (iter < IvfKmeansIters) {
+      val sums = Array.fill(IvfCells)(new Array[Double](dims))
+      val counts = new Array[Long](IvfCells)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < IvfCells) {
+          var d = 0.0
+          var i = 0
+          val cv = cents(c)
+          while (i < dims) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val sb = sums(best)
+        var i = 0
+        while (i < dims) { sb(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(IvfCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else { val m = sums(c); var i = 0; while (i < dims) { m(i) /= counts(c); i += 1 }; m }
+      }
+      iter += 1
+    }
+    cents.zipWithIndex.map { case (v, c) => (c, v) }
   }
 
   private def nearestCells(v: Seq[Double], cents: Array[(Int, Array[Double])], k: Int): Seq[Int] =
@@ -201,14 +239,22 @@ object Similarity {
         (0 until Tables).map(t => (id, t, lshSignature(v, t)))
       }
       .toDF("vec_id", "t", "bucket")
+    // multi-probe: own bucket + every 1-bit and 2-bit flip (1+8+28 = 37
+    // probes/table). Probing neighbors buys recall WITHOUT growing the
+    // corpus-side index — the scale-correct trade (probes are per-query,
+    // the index is per-corpus).
     val probes = q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
-        for {
-          t <- 0 until Tables
-          sig = lshSignature(v, t)
-          i <- 0 to Planes
-        } yield (id, t, if (i == 0) sig else sig ^ (1 << (i - 1)))
+        (0 until Tables).iterator.flatMap { t =>
+          val sig = lshSignature(v, t)
+          val one = (0 until Planes).map(b => sig ^ (1 << b))
+          val two = for {
+            b1 <- 0 until Planes; b2 <- (b1 + 1) until Planes
+          } yield sig ^ (1 << b1) ^ (1 << b2)
+          (Iterator.single(sig) ++ one.iterator ++ two.iterator)
+            .map(p => (id, t, p))
+        }
       }
       .toDF("qid", "t", "probe")
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))

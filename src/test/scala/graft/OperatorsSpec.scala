@@ -209,7 +209,10 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val avgRecall = recalls.sum / recalls.size
     info(s"ann_lsh recall@5 = $avgRecall over ${bf.size} queries")
-    assert(avgRecall >= 0.2, s"recall too low: $avgRecall")
+    // measured 1.0 with 2-bit multi-probe (was 0.64 with 1-bit); floor set
+    // below the measurement to absorb query-set sensitivity, above the
+    // old config so a probe regression fails
+    assert(avgRecall >= 0.8, s"recall too low: $avgRecall")
 
     val ivf = Similarity.annIvf(spark, sf0001)
       .select(col("qid"), col("nid")).as[(Long, Long)].collect()
@@ -219,7 +222,9 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val ivfRecall = ivfRecalls.sum / ivfRecalls.size
     info(s"ann_ivf recall@5 = $ivfRecall over ${bf.size} queries")
-    assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
+    // measured 0.84 with the k-means codebook (was 0.48 with the fixed
+    // sample); floor catches a codebook regression
+    assert(ivfRecall >= 0.6, s"ivf recall too low: $ivfRecall")
   }
 
   // ---- end-to-end corpus pipeline ----
