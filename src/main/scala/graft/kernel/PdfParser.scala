@@ -72,6 +72,53 @@ object PdfParser {
       new String(b, s, pos - s, "ISO-8859-1")
     }
 
+    /** keyword() without materializing the String (hot path). */
+    def skipKeyword(): Unit = {
+      while (pos < n && !isWs(at(pos)) && !isDelim(at(pos))) pos += 1
+    }
+
+    /** Set by scanNumber: whether the token had no '.' (integer form). */
+    var numIsInt: Boolean = true
+
+    /** Allocation-free number scan (the content-stream hot path: every
+      * coordinate/width operand went through new String + toDouble before
+      * this). Returns NaN for malformed tokens (no digits, or a second
+      * dot) — callers preserve the old semantics: structure parse throws,
+      * content scan treats it as 0.0. Consumes the same characters the
+      * old scan did ([+-]? then digits/dots).
+      */
+    def scanNumber(): Double = {
+      var sign = 1.0
+      numIsInt = true
+      val c0 = at(pos)
+      if (c0 == '+') pos += 1
+      else if (c0 == '-') { sign = -1.0; pos += 1 }
+      var digits = 0
+      var malformed = false
+      var intPart = 0.0
+      while (pos < n && isDigit(at(pos))) {
+        intPart = intPart * 10 + (at(pos) - '0'); digits += 1; pos += 1
+      }
+      var value = intPart
+      if (pos < n && at(pos) == '.') {
+        numIsInt = false
+        pos += 1
+        var frac = 0.0
+        var scale = 1.0
+        while (pos < n && isDigit(at(pos))) {
+          frac = frac * 10 + (at(pos) - '0'); digits += 1; scale *= 10; pos += 1
+        }
+        value += frac / scale
+        // consume (and reject) degenerate extra dots, like the old
+        // digits-and-dots regex did
+        while (pos < n && (isDigit(at(pos)) || at(pos) == '.')) {
+          if (at(pos) == '.') malformed = true
+          pos += 1
+        }
+      }
+      if (digits == 0 || malformed) Double.NaN else sign * value
+    }
+
     def parseValue(depth: Int): PV = {
       if (depth > 64) throw new PdfStructureException("nesting too deep")
       skipWs()
@@ -121,25 +168,18 @@ object PdfParser {
     }
 
     private def numberOrRef(): PV = {
-      val s = pos
-      if (at(pos) == '+' || at(pos) == '-') pos += 1
-      var isInt = true
-      while (pos < n && (isDigit(at(pos)) || at(pos) == '.')) {
-        if (at(pos) == '.') isInt = false
-        pos += 1
-      }
-      val numStr = new String(b, s, pos - s, "ISO-8859-1")
-      val v = try numStr.toDouble catch {
-        case _: NumberFormatException => throw new PdfStructureException(s"bad number '$numStr'")
-      }
-      if (isInt && v >= 0) {
+      val v = scanNumber()
+      if (v.isNaN) throw new PdfStructureException("bad number")
+      if (numIsInt && v >= 0) {
         // lookahead for "gen R"
         val save = pos
         skipWs()
-        val g0 = pos
-        while (pos < n && isDigit(at(pos))) pos += 1
-        if (pos > g0) {
-          val gen = new String(b, g0, pos - g0, "ISO-8859-1").toInt
+        var gen = 0
+        var gDigits = 0
+        while (pos < n && isDigit(at(pos))) {
+          gen = gen * 10 + (at(pos) - '0'); gDigits += 1; pos += 1
+        }
+        if (gDigits > 0) {
           skipWs()
           if (pos < n && at(pos) == 'R' &&
               (pos + 1 >= n || isWs(at(pos + 1)) || isDelim(at(pos + 1)))) {
@@ -490,45 +530,40 @@ object PdfParser {
           try { lex.parseDict(0); () } catch { case _: Exception => () }
         } else if (c == '<') { lex.pos += 1; strings += lex.hexString() }
         else if (c == '[' || c == ']') lex.pos += 1
-        else if (c == '/') { lex.pos += 1; lex.keyword(); () }
+        else if (c == '/') { lex.pos += 1; lex.skipKeyword() }
         else if (isDigit(c) || c == '+' || c == '-' || c == '.') {
-          val s = lex.pos
-          lex.pos += 1
-          while (lex.pos < cs.length && (isDigit(lex.at(lex.pos)) || lex.at(lex.pos) == '.'))
-            lex.pos += 1
-          val txt = new String(cs, s, lex.pos - s, "ISO-8859-1")
-          val v = try txt.toDouble catch { case _: NumberFormatException => 0.0 }
-          numA = numB; numB = v
+          // allocation-free operand scan (was new String + toDouble per
+          // number — the single hottest allocation in the PDF branch)
+          val v = lex.scanNumber()
+          numA = numB; numB = if (v.isNaN) 0.0 else v
         } else {
-          val op = lex.keyword()
-          if (op.isEmpty) lex.pos += 1
-          else op match {
-            case "Tj" =>
-              if (strings.nonEmpty) emit(strings.last)
-              strings.clear()
-            case "TJ" =>
-              strings.foreach(emit)
-              strings.clear()
-            case "'" =>
-              newline()
-              if (strings.nonEmpty) emit(strings.last)
-              strings.clear()
-            case "\"" =>
-              newline()
-              if (strings.nonEmpty) emit(strings.last)
-              strings.clear()
-            case "Td" | "TD" =>
-              if (numB != 0.0) newline()
-              strings.clear()
-            case "T*" =>
-              newline()
-              strings.clear()
-            case "BT" =>
-              lineHasText = false
-              strings.clear()
-            case _ =>
-              strings.clear()
-          }
+          // operator dispatch on raw bytes — no String per operator
+          val s0 = lex.pos
+          lex.skipKeyword()
+          val len = lex.pos - s0
+          def is2(a: Char, b2: Char): Boolean =
+            len == 2 && cs(s0) == a.toByte && cs(s0 + 1) == b2.toByte
+          if (len == 0) lex.pos += 1
+          else if (is2('T', 'j')) {
+            if (strings.nonEmpty) emit(strings.last)
+            strings.clear()
+          } else if (is2('T', 'J')) {
+            strings.foreach(emit)
+            strings.clear()
+          } else if (len == 1 && (cs(s0) == '\''.toByte || cs(s0) == '"'.toByte)) {
+            newline()
+            if (strings.nonEmpty) emit(strings.last)
+            strings.clear()
+          } else if (is2('T', 'd') || is2('T', 'D')) {
+            if (numB != 0.0) newline()
+            strings.clear()
+          } else if (is2('T', '*')) {
+            newline()
+            strings.clear()
+          } else if (is2('B', 'T')) {
+            lineHasText = false
+            strings.clear()
+          } else strings.clear()
         }
       }
     }
