@@ -101,7 +101,12 @@ object ExtractKernel {
       val res = MainContent.extractBytes(b,
         if (arena == null) new DomArena() else arena)
       val text = serialize(p.url, res, profile)
-      Extracted(p.url, Completed, text, res.spans, "", 1, 0, profile.engine, bucket)
+      // spans are char offsets INTO the emitted text — they are only valid
+      // when the serializer emitted the plain extraction verbatim; a
+      // transformed rendering (markdown/json/structured/key_value, or an
+      // llm-ladder literal) gets no spans rather than wrong ones
+      val spans = if (text == res.text) res.spans else Seq.empty
+      Extracted(p.url, Completed, text, spans, "", 1, 0, profile.engine, bucket)
     } catch {
       case e: Exception =>
         // A3 contract: never die on a bad unit — fall back like
