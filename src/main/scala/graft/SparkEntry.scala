@@ -166,8 +166,16 @@ object SparkEntry {
       // ---- dedup family ----
       "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
       "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
-      "dedup_minhash_lsh" -> ((s, dir) => Dedup.dedupMinhashLsh(s, dir)),
-      "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhash(s, dir)),
+      // sketch stages (band/signature frames) materialize so DuckDB can
+      // replicate the banding + verify relationally — the sketches are
+      // oracle-checked, not rows-only
+      "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshFromBands(s,
+        materialize(s, s"${oracleBase(dir)}/minhash_bands")(
+          Dedup.minhashBands(s, Dedup.corpus(s, dir))),
+        Dedup.corpus(s, dir))),
+      "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhashFromSigs(
+        materialize(s, s"${oracleBase(dir)}/simhash_sigs")(
+          Dedup.simhashSigs(s, Dedup.corpus(s, dir))))),
       "dedup_embedding" -> ((s, dir) => Dedup.dedupEmbedding(s, dir)),
       "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
       // the SCALE path end-to-end: LSH pair set → distributed connected
@@ -178,9 +186,15 @@ object SparkEntry {
           Dedup.dedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))))),
       // ---- similarity search ----
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
-      "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
-      "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
-      "emb_quantize_stats" -> ((s, dir) => graft.operators.Quantize.quantizeStats(s, dir)),
+      "ann_lsh" -> ((s, dir) => Similarity.annLshFrom(s, dir,
+        materialize(s, s"${oracleBase(dir)}/annlsh_bands")(Similarity.annLshBands(s, dir)),
+        materialize(s, s"${oracleBase(dir)}/annlsh_probes")(Similarity.annLshProbes(s, dir)))),
+      "ann_ivf" -> ((s, dir) => Similarity.annIvfFrom(s, dir,
+        materialize(s, s"${oracleBase(dir)}/annivf_cells")(Similarity.annIvfCells(s, dir)),
+        materialize(s, s"${oracleBase(dir)}/annivf_probes")(Similarity.annIvfProbes(s, dir)))),
+      "emb_quantize_stats" -> ((s, dir) => graft.operators.Quantize.quantizeStatsFrom(
+        materialize(s, s"${oracleBase(dir)}/quantized")(
+          graft.operators.Quantize.quantized(s, dir)))),
       // ---- text analysis ----
       "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
@@ -283,6 +297,82 @@ object SparkEntry {
       "pipeline_corpus" ->
         s"""SELECT url, is_exact_dup, is_near_dup, quality, lang_pred, keep
            |FROM ${rp("pipeline_corpus")} ORDER BY url""".stripMargin,
+      // DuckDB replicates the MinHash-LSH banding (bucket cap included)
+      // from the materialized band frame and re-verifies candidates with
+      // its own exact shingle Jaccard — only the minhash signatures
+      // themselves come from the kernel
+      "dedup_minhash_lsh" ->
+        s"""WITH all_docs AS (${Dedup.corpusSql}),
+           |toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM all_docs),
+           |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+           |       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |bands AS (SELECT * FROM ${rp("minhash_bands")}),
+           |okb AS (SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+           |         JOIN okb ON okb.band = a.band AND okb.bucket = a.bucket),
+           |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+           |          JOIN sh sa2 ON sa2.doc_id = id_a
+           |          JOIN sh sb2 ON sb2.doc_id = id_b AND sa2.s = sb2.s
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 3) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= ${Dedup.JaccardThreshold}
+           |ORDER BY id_a, id_b""".stripMargin,
+      // simhash: DuckDB re-does the 16-bit chunk banding + hamming verify
+      // from the materialized signatures (bit ops cross-checked)
+      "dedup_simhash" ->
+        s"""WITH sigs AS (SELECT * FROM ${rp("simhash_sigs")}),
+           |chunks AS (SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS v
+           |           FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c) g),
+           |okb AS (SELECT c, v FROM chunks GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 256),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+           |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+           |         JOIN okb ON okb.c = a.c AND okb.v = a.v)
+           |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= ${Dedup.SimhashMaxHamming}
+           |ORDER BY id_a, id_b""".stripMargin,
+      // ANN sketches: DuckDB re-joins the materialized index/probe frames
+      // and re-ranks candidates with its own cosine top-k
+      "ann_lsh" ->
+        s"""WITH cand AS (
+           | SELECT DISTINCT p.qid, c.vec_id
+           | FROM ${rp("annlsh_bands")} c
+           | JOIN ${rp("annlsh_probes")} p ON c.t = p.t AND c.bucket = p.probe
+           | WHERE c.vec_id <> p.qid),
+           |scored AS (
+           | SELECT cand.qid, cand.vec_id,
+           |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+           | FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+           |           JOIN embeddings q ON q.vec_id = cand.qid)
+           |SELECT qid, vec_id AS nid, rnk, round(sim, 4) AS sim FROM (
+           | SELECT qid, vec_id, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           | FROM scored) t
+           |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
+      "ann_ivf" ->
+        s"""WITH cand AS (
+           | SELECT DISTINCT p.qid, c.vec_id
+           | FROM ${rp("annivf_cells")} c
+           | JOIN ${rp("annivf_probes")} p ON c.cell = p.cell
+           | WHERE c.vec_id <> p.qid),
+           |scored AS (
+           | SELECT cand.qid, cand.vec_id,
+           |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+           | FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+           |           JOIN embeddings q ON q.vec_id = cand.qid)
+           |SELECT qid, vec_id AS nid, rnk, round(sim, 4) AS sim FROM (
+           | SELECT qid, vec_id, sim,
+           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           | FROM scored) t
+           |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
+      "emb_quantize_stats" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           | round(avg(cos_fidelity), 5) AS avg_cos_fidelity,
+           | round(min(cos_fidelity), 5) AS min_cos_fidelity,
+           | round(max(max_abs_err), 5) AS max_abs_err
+           |FROM ${rp("quantized")}""".stripMargin,
       // DuckDB recomputes the connected components over the SAME LSH pair
       // set with a recursive CTE — the scale path's cluster semantics,
       // cross-engine-verified

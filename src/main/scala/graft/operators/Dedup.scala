@@ -244,10 +244,13 @@ object Dedup {
     * EXTRACTED corpus (bench + scale specs run it on extraction output
     * with planted near-dups).
     */
-  def minhashLshPairsFrom(s: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+  /** The narrow signature stage alone: (doc_id, band, bucket) rows —
+    * exposed so the harness can materialize it and the DuckDB oracle can
+    * replicate the banding + verify relationally.
+    */
+  def minhashBands(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    // narrow signature stage: no shuffle
-    val bands = docs
+    docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -255,6 +258,16 @@ object Dedup {
         (0 until Bands).map(b => (id, b, bandHash(sig, b)))
       }
       .toDF("doc_id", "band", "bucket")
+  }
+
+  def minhashLshPairsFrom(s: SparkSession, docs: DataFrame, maxBucket: Int = 64): DataFrame =
+    minhashLshFromBands(s, minhashBands(s, docs), docs, maxBucket)
+
+  /** Banding + candidate explode + exact-Jaccard verify, from an
+    * already-computed (or materialized) bands frame.
+    */
+  def minhashLshFromBands(s: SparkSession, bands: DataFrame, docs: DataFrame,
+      maxBucket: Int = 64): DataFrame = {
     // candidate pairs: co-bucketed docs (distinct across bands). Buckets
     // holding >1 doc are a vanishing fraction of all buckets → checkpoint
     // that small set once, then derive both the drop counter and the
@@ -415,13 +428,21 @@ object Dedup {
     * Same 3-shuffle shape as minhash LSH; candidate set is docs sharing
     * any 16-bit chunk value (pigeonhole-complete for hamming ≤ 3).
     */
-  def dedupSimhash(s: SparkSession, dir: String, maxBucket: Int = 256): DataFrame = {
-    // signature via the native codegen'd expression (functions.SimHash64,
-    // registered through the session's FunctionRegistry): stays inside
-    // whole-stage codegen, no typed-Dataset boundary
+  def dedupSimhash(s: SparkSession, dir: String, maxBucket: Int = 256): DataFrame =
+    dedupSimhashFromSigs(simhashSigs(s, corpus(s, dir)), maxBucket)
+
+  /** Signature stage alone: (doc_id, sig) via the native codegen'd
+    * expression (functions.SimHash64, registered through the session's
+    * FunctionRegistry) — stays inside whole-stage codegen, no
+    * typed-Dataset boundary. Exposed for materialization (oracle input).
+    */
+  def simhashSigs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.SimHash64.register(s)
-    val sigs = corpus(s, dir)
-      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    docs.select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+  }
+
+  /** Chunk banding + hamming verify from an already-computed sigs frame. */
+  def dedupSimhashFromSigs(sigs: DataFrame, maxBucket: Int = 256): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
           "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))

@@ -54,8 +54,11 @@ object Quantize {
     * the ANN index to the quantized representation).
     */
   def quantizeStats(s: SparkSession, dir: String): DataFrame =
-    quantized(s, dir)
-      .agg(count(lit(1)).as("n_vectors"),
+    quantizeStatsFrom(quantized(s, dir))
+
+  /** Stats agg from an already-computed (or materialized) quantized frame. */
+  def quantizeStatsFrom(q: DataFrame): DataFrame =
+    q.agg(count(lit(1)).as("n_vectors"),
         round(avg(col("cos_fidelity")), 5).as("avg_cos_fidelity"),
         round(min(col("cos_fidelity")), 5).as("min_cos_fidelity"),
         round(max(col("max_abs_err")), 5).as("max_abs_err"))

@@ -186,20 +186,39 @@ object Similarity {
     * table is tiny and driver-resident (broadcast via closure) — the
     * corpus-side assignment is a narrow map, no shuffle.
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus-side cell assignment (narrow map, no shuffle) — exposed for
+    * materialization so the DuckDB oracle can replicate the probe join.
+    */
+  def annIvfCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = ivfCentroids(s, dir)
-    val (q, e) = queriesAndCorpus(s, dir)
-    // cell assignment as typed maps (closure-captured centroid codebook —
-    // the same shape the LSH path uses; no UDF registry involvement)
-    val corpusCells = e.select(col("vec_id"), col("e"))
+    val (_, e) = queriesAndCorpus(s, dir)
+    e.select(col("vec_id"), col("e"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) => (id, nearestCells(v, cents, 1).head) }
       .toDF("vec_id", "cell")
-    val probeCells = q.select(col("qid"), col("qe"))
+  }
+
+  /** Query-side probe list (IvfProbes nearest cells per query). */
+  def annIvfProbes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ivfCentroids(s, dir)
+    val (q, _) = queriesAndCorpus(s, dir)
+    q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) => nearestCells(v, cents, IvfProbes).map(c => (id, c)) }
       .toDF("qid", "cell")
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrom(s, dir, annIvfCells(s, dir), annIvfProbes(s, dir))
+
+  /** Probe join + exact scoring from already-computed (or materialized)
+    * cell-assignment frames.
+    */
+  def annIvfFrom(s: SparkSession, dir: String,
+      corpusCells: DataFrame, probeCells: DataFrame): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     corpusCells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -225,25 +244,33 @@ object Similarity {
     * so cost = candidate count, sub-linear in the corpus for any selective
     * signature. Recall is measured against brute force in OperatorsSpec.
     */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus-side LSH index rows (vec_id, t, bucket) — all L signatures in
+    * one typed pass: expressing 64 plane-dots as nested zip_with/aggregate
+    * expressions blows up the generated code (measured ~3× slower than
+    * this flatMap); lshSignatureCol remains the expression form and its
+    * equality with lshSignature is spec-asserted. Exposed for
+    * materialization (oracle input).
+    */
+  def annLshBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (q, e) = queriesAndCorpus(s, dir)
-    // All L signatures in one typed pass: expressing 64 plane-dots as
-    // nested zip_with/aggregate expressions blows up the generated code
-    // (measured ~3× slower than this flatMap); lshSignatureCol remains
-    // the expression form and its equality with lshSignature is
-    // spec-asserted.
-    val corpus = e.select(col("vec_id"), col("e"))
+    val (_, e) = queriesAndCorpus(s, dir)
+    e.select(col("vec_id"), col("e"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         (0 until Tables).map(t => (id, t, lshSignature(v, t)))
       }
       .toDF("vec_id", "t", "bucket")
-    // multi-probe: own bucket + every 1-bit and 2-bit flip (1+8+28 = 37
-    // probes/table). Probing neighbors buys recall WITHOUT growing the
-    // corpus-side index — the scale-correct trade (probes are per-query,
-    // the index is per-corpus).
-    val probes = q.select(col("qid"), col("qe"))
+  }
+
+  /** Query-side probe rows: own bucket + every 1-bit and 2-bit flip
+    * (1+8+28 = 37 probes/table). Probing neighbors buys recall WITHOUT
+    * growing the corpus-side index — the scale-correct trade (probes are
+    * per-query, the index is per-corpus).
+    */
+  def annLshProbes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (q, _) = queriesAndCorpus(s, dir)
+    q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
         (0 until Tables).iterator.flatMap { t =>
@@ -257,6 +284,17 @@ object Similarity {
         }
       }
       .toDF("qid", "t", "probe")
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshFrom(s, dir, annLshBands(s, dir), annLshProbes(s, dir))
+
+  /** Candidate join + exact scoring from already-computed (or
+    * materialized) index/probe frames.
+    */
+  def annLshFrom(s: SparkSession, dir: String,
+      corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val (q, e) = queriesAndCorpus(s, dir)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     // dedupe candidate PAIRS on ids only (a pair colliding in several
     // tables scores once) — deduping rows that still carry the embedding
