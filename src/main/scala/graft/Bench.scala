@@ -129,6 +129,10 @@ object Bench {
       "ann_bruteforce", "ann_lsh", "text_stats", "text_quality")
     val queryTimes = secondary.map { name =>
       val fn = SparkEntry.queries(name)
+      // warm-up: first call pays JIT and (for sketch queries) the
+      // one-time oracle materialization parquet write — exclude both so
+      // the reported seconds measure the operator, comparable to round 1
+      fn(sHi, sfDir).agg(count(lit(1))).collect()
       val (_, t) = timed {
         val df = fn(sHi, sfDir)
         df.agg(count(lit(1))).collect()

@@ -44,8 +44,14 @@ object SparkEntry {
     * oracle rows. The kernel itself stays spec-verified (golden
     * byte-identity); the oracle verifies everything downstream of it.
     */
-  def oracleBase(dir: String): String =
-    s"/tmp/graft_oracle/${new java.io.File(dir).getName}"
+  def oracleBase(dir: String): String = {
+    // key by basename (readable) + full-path hash (two different dirs
+    // sharing a basename must not share a materialization cache)
+    val f = new java.io.File(dir)
+    val h = java.lang.Long.toHexString(
+      graft.operators.XxHash.hashUtf8(f.getAbsolutePath))
+    s"/tmp/graft_oracle/${f.getName}_$h"
+  }
 
   private val matCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def materialize(s: SparkSession, path: String)(df: => DataFrame): DataFrame = {
@@ -180,10 +186,15 @@ object SparkEntry {
       "dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
       // the SCALE path end-to-end: LSH pair set → distributed connected
       // components; the materialized pair set lets DuckDB recompute the
-      // components with a recursive CTE (oracle-checked)
+      // components with a recursive CTE (oracle-checked). Reuses the
+      // minhash_bands materialization so the signature kernel runs once
+      // per Verify even though two queries consume it.
       "dedup_clusters_lsh" -> ((s, dir) => Dedup.clustersFrom(s,
         materialize(s, s"${oracleBase(dir)}/lsh_pairs")(
-          Dedup.dedupMinhashLsh(s, dir).select(col("id_a"), col("id_b"))))),
+          Dedup.minhashLshFromBands(s,
+            materialize(s, s"${oracleBase(dir)}/minhash_bands")(
+              Dedup.minhashBands(s, Dedup.corpus(s, dir))),
+            Dedup.corpus(s, dir)).select(col("id_a"), col("id_b"))))),
       // ---- similarity search ----
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
       "ann_lsh" -> ((s, dir) => Similarity.annLshFrom(s, dir,

@@ -40,6 +40,11 @@ object Dedup {
     * (degenerate content), the drop must be observable, not silent. One
     * counter per sketch family, refreshed per run on the driver (the
     * count is a tiny agg over the already-checkpointed ≥2-doc buckets).
+    *
+    * Scope: LAST-RUN observability on this driver JVM — concurrent LSH
+    * runs interleave their writes (last wins). The warning log line is
+    * emitted per run regardless; anything needing per-run audit data at
+    * scale should persist the counts next to its own lineage.
     */
   final class DropCounter(val name: String) {
     private val buckets = new java.util.concurrent.atomic.AtomicLong(-1L)

@@ -51,14 +51,31 @@ object ExtractRunner {
   def cancel(spark: SparkSession, snapshotId: Long): Unit =
     spark.sparkContext.cancelJobGroup(jobGroupFor(snapshotId))
 
+  /** True only for Spark's own job/task cancellation signals: a
+    * SparkException whose message says the JOB was cancelled, or a
+    * TaskKilledException. Deliberately narrow — an arbitrary failure whose
+    * message merely contains "cancel" (e.g. an output committer reporting
+    * 'pending uploads cancelled') must propagate as a crash, not be
+    * recorded as a graceful A10 cancel. Cause-walk is depth-bounded (a
+    * 2-cycle in the cause chain would otherwise loop forever).
+    */
   private def isCancellation(e: Throwable): Boolean = {
     var t = e
-    while (t != null) {
-      val m = t.getMessage
-      if (m != null && m.toLowerCase(java.util.Locale.ROOT).contains("cancel")) return true
-      if (t.isInstanceOf[InterruptedException] ||
-        t.isInstanceOf[org.apache.spark.TaskKilledException]) return true
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: org.apache.spark.TaskKilledException => return true
+        case se: org.apache.spark.SparkException =>
+          val m = se.getMessage
+          if (m != null) {
+            val lm = m.toLowerCase(java.util.Locale.ROOT)
+            if (lm.contains("cancel") && (lm.contains("job") || lm.contains("stage")))
+              return true
+          }
+        case _ => ()
+      }
       t = if (t.getCause ne t) t.getCause else null
+      depth += 1
     }
     false
   }
@@ -76,7 +93,7 @@ object ExtractRunner {
 
     val lineagePath = s"$outRoot/lineage"
     val priorLineage: Option[DataFrame] =
-      try Some(spark.read.parquet(lineagePath)) catch { case _: Exception => None }
+      try Some(readLineage(spark, lineagePath)) catch { case _: Exception => None }
 
     val todo = priorLineage match {
       case Some(lin) => ExtractJob.resumeFilter(spark, pages, lin, snapshotId, buckets)
@@ -88,6 +105,11 @@ object ExtractRunner {
     // write-then-read of the output table — here write first, then derive
     // lineage from the written table so the lineage reflects exactly what
     // landed).
+    // table property: the bucket modulus this table is written with
+    // (lookups resolve it from here — see tableBuckets)
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/table_meta")
+
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
     spark.sparkContext.setJobGroup(jobGroupFor(snapshotId),
       s"graft extraction snapshot=$snapshotId", interruptOnCancel = true)
@@ -139,14 +161,30 @@ object ExtractRunner {
     RunReport(snapshotId, docsProcessed, bucketsDone, wallMs)
   }
 
+  /** The table's bucket count is a TABLE property, not a caller guess: a
+    * lookup hashing with the wrong modulus prunes to directories that
+    * don't contain the url and silently returns nothing. run() records
+    * the count in `table_meta`; lookups resolve it from there unless the
+    * caller passes an explicit positive value.
+    */
+  def tableBuckets(spark: SparkSession, outRoot: String): Int =
+    try spark.read.parquet(s"$outRoot/table_meta")
+      .select(col("buckets")).collect()(0).getInt(0)
+    catch { case _: Exception => ExtractJob.DefaultBuckets }
+
+  private def resolveBuckets(spark: SparkSession, outRoot: String, buckets: Int): Int =
+    if (buckets > 0) buckets else tableBuckets(spark, outRoot)
+
   /** Status point lookup — the `GET /api/file/status/<id>` analogue
     * (routes.py:138-204, task.py:60-84): one row for a url, served by
     * bucket-partition pruning + predicate pushdown (the scan touches one
-    * bucket directory, not the table).
+    * bucket directory, not the table). `buckets` ≤ 0 → resolved from
+    * table_meta.
     */
   def status(spark: SparkSession, outRoot: String, url: String,
-      buckets: Int = ExtractJob.DefaultBuckets): DataFrame = {
-    val bucket = java.lang.Math.floorMod(XxHash.hashUtf8(url), buckets.toLong).toInt
+      buckets: Int = -1): DataFrame = {
+    val b = resolveBuckets(spark, outRoot, buckets)
+    val bucket = java.lang.Math.floorMod(XxHash.hashUtf8(url), b.toLong).toInt
     spark.read.parquet(s"$outRoot/extracted")
       .filter(col("bucket") === bucket && col("url") === url)
       .select(col("url"), col("status"), col("error"), col("n_pages"),
@@ -160,12 +198,13 @@ object ExtractRunner {
     * within them).
     */
   def statusBatch(spark: SparkSession, outRoot: String, urls: Seq[String],
-      buckets: Int = ExtractJob.DefaultBuckets): DataFrame = {
+      buckets: Int = -1): DataFrame = {
     require(urls.nonEmpty && urls.size <= 100,
       s"batch status lookup takes 1..100 urls (API.md:468), got ${urls.size}")
+    val b = resolveBuckets(spark, outRoot, buckets)
     val wanted = urls.distinct
     val bucketIds = wanted
-      .map(u => java.lang.Math.floorMod(XxHash.hashUtf8(u), buckets.toLong).toInt)
+      .map(u => java.lang.Math.floorMod(XxHash.hashUtf8(u), b.toLong).toInt)
       .distinct
     spark.read.parquet(s"$outRoot/extracted")
       .filter(col("bucket").isin(bucketIds: _*) && col("url").isin(wanted: _*))
@@ -176,15 +215,32 @@ object ExtractRunner {
   /** Operational status — the status endpoint's aggregate view, from
     * lineage alone (never scans the data table).
     */
+  /** Lineage reader tolerant of mixed schemas: a dir holding pre-status
+    * (8-column) files plus new rows must NOT have parquet's
+    * single-footer schema inference silently drop the status column —
+    * that would make resumeFilter treat 'cancelled' marks as completed
+    * and skip those buckets forever. mergeSchema unions the footers; a
+    * fully-legacy dir gets status='completed' backfilled (every row a
+    * legacy run wrote was a completed bucket).
+    */
+  def readLineage(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    if (df.columns.contains("status"))
+      df.withColumn("status", coalesce(col("status"), lit("completed")))
+    else df.withColumn("status", lit("completed"))
+  }
+
   def jobStatus(spark: SparkSession, outRoot: String): DataFrame =
-    spark.read.parquet(s"$outRoot/lineage")
+    readLineage(spark, s"$outRoot/lineage")
       .groupBy(col("snapshot_id"))
       .agg(
-        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("buckets_done"),
+        // distinct buckets per state: repeated cancel/resume appends must
+        // not inflate the counts (lineage is an append-only ledger)
+        countDistinct(when(col("status") === "completed", col("bucket"))).as("buckets_done"),
         sum(col("doc_count")).as("docs"),
         sum(col("ok_count")).as("ok"),
         sum(col("fail_count")).as("failed"),
-        sum(when(col("status") === "cancelled", 1L).otherwise(0L)).as("buckets_cancelled"))
+        countDistinct(when(col("status") === "cancelled", col("bucket"))).as("buckets_cancelled"))
       .orderBy(col("snapshot_id"))
 
   def main(args: Array[String]): Unit = {

@@ -128,7 +128,16 @@ object Similarity {
     * equal-stride pick from it, so the codebook is bit-reproducible
     * across runs and cluster sizes. Returns (cellId, centroid).
     */
-  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    // memoized per input dir: the codebook is deterministic, and
+    // annIvfCells + annIvfProbes would otherwise each pay the sample
+    // collect + Lloyd training
+    centroidCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir))
+
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+
+  private def trainIvfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     import s.implicits._
     val e = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

@@ -63,6 +63,12 @@ class RunnerSpec extends AnyFunSuite {
       .select(col("url")).limit(1).as[String].collect()(0)
     val st = ExtractRunner.status(spark, s"$base/out", someUrl, buckets = 8).collect()
     assert(st.length == 1 && st(0).getAs[String]("url") == someUrl)
+    // bucket count is a TABLE property: resolved from table_meta when the
+    // caller doesn't pass one (a wrong modulus would prune to the wrong
+    // directory and silently return nothing)
+    assert(ExtractRunner.tableBuckets(spark, s"$base/out") == 8)
+    val stAuto = ExtractRunner.status(spark, s"$base/out", someUrl).collect()
+    assert(stAuto.length == 1 && stAuto(0).getAs[String]("url") == someUrl)
     val js = ExtractRunner.jobStatus(spark, s"$base/out").collect()
     assert(js.length == 1 && js(0).getAs[Long]("docs") == 500)
     assert(js(0).getAs[Long]("buckets_cancelled") == 0)
