@@ -84,6 +84,35 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("runner: legacy status-less lineage files mix safely with new rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$base/pages")
+    val snapId = ExtractJob.snapshotIdOf(spark, s"$base/pages")
+    // legacy 8-column lineage (pre-status) claims buckets 0-3 done...
+    (0 until 4).map(b => (snapId, b, 10L, 100L, 10L, 0L, Seq.empty[String], 5L))
+      .toDF("snapshot_id", "bucket", "doc_count", "byte_count",
+        "ok_count", "fail_count", "failure_samples", "wall_ms")
+      .write.parquet(s"$base/out/lineage")
+    // ...and a NEW-format cancelled mark exists for bucket 4
+    ExtractJob.cancelledLineage(spark, Seq(4), snapId, 1L)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$base/out/lineage")
+    // the merged read must keep the status column: legacy rows backfill
+    // 'completed', the cancelled mark survives, and resume reprocesses
+    // bucket 4 (plus 5-7) but not 0-3
+    val lin = ExtractRunner.readLineage(spark, s"$base/out/lineage")
+    assert(lin.filter(col("status") === "cancelled").count() == 1)
+    assert(lin.filter(col("status") === "completed").count() == 4)
+    val todo = ExtractJob.resumeFilter(spark,
+        spark.read.parquet(s"$base/pages").as[graft.model.Page], lin, snapId, buckets = 8)
+      .select(ExtractJob.bucketCol(8).as("b")).distinct()
+      .as[Int].collect().toSet
+    assert(todo == Set(4, 5, 6, 7), s"got $todo")
+    // jobStatus over the mixed dir works and reports both states
+    val js = ExtractRunner.jobStatus(spark, s"$base/out").collect()(0)
+    assert(js.getAs[Long]("buckets_done") == 4 && js.getAs[Long]("buckets_cancelled") == 1)
+  }
+
   test("runner: explicit cancel mid-run writes cancelled marks; rerun converges (A10)") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
