@@ -28,6 +28,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"column pruning lost:\n$plan")
   }
 
+  test("statusBatch: bucket isin prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_sb").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$tmp/pages")
+    graft.operators.ExtractRunner.run(spark, s"$tmp/pages", s"$tmp/out", buckets = 8)
+    import spark.implicits._
+    val urls = spark.read.parquet(s"$tmp/out/extracted")
+      .select(col("url")).limit(3).as[String].collect().toSeq
+    val df = graft.operators.ExtractRunner.statusBatch(spark, s"$tmp/out", urls)
+    val plan = physicalPlan(df)
+    // the bucket predicate must land in PartitionFilters (directory
+    // pruning), not as a post-scan filter over the whole table
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"no partition pruning:\n$plan")
+  }
+
+  test("minhash verify: candidate-doc gate is a broadcast semi-join") {
+    val df = graft.operators.Dedup.dedupMinhashLsh(spark, sf0001)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate gate not broadcast semi:\n$plan")
+  }
+
   test("q3: dimension joins are broadcast (no shuffle of the fact side for dims)") {
     val plan = physicalPlan(Relational.q3TopRevenue(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("BroadcastHashJoin"), plan)
