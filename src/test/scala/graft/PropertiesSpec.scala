@@ -164,6 +164,38 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("pdf contentText: total on arbitrary bytes; number scan matches old String-based semantics") {
+    // totality of the content-stream scanner (the allocation-diet rewrite)
+    val rawBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check(Prop.forAll(rawBytes) { b =>
+      graft.kernel.PdfParser.contentText(b) != null
+    })
+    // the inline operand scan must reproduce the old semantics exactly:
+    // consume [+-]? then digits/dots; value = toDouble, malformed → 0.0
+    val numTok = for {
+      sign <- Gen.oneOf("", "+", "-")
+      body <- Gen.listOf(Gen.oneOf("0", "1", "7", "9", ".")).map(_.mkString)
+      if (sign + body).nonEmpty
+    } yield sign + body
+    check(Prop.forAll(numTok) { tok =>
+      // old semantics, reimplemented: first char unconditionally, then
+      // digits/dots; toDouble or 0.0
+      val oldEnd = {
+        var j = 1
+        while (j < tok.length && (tok.charAt(j).isDigit || tok.charAt(j) == '.')) j += 1
+        j
+      }
+      val oldVal = try tok.substring(0, oldEnd).toDouble catch { case _: Exception => 0.0 }
+      // new scanner, via the public surface: a content stream "<tok> 0 Td"
+      // emits a newline iff the LAST operand before Td (numB) is nonzero —
+      // here we probe the value by placing tok as the y operand directly
+      val probe = ("BT (a) Tj 0 " + tok + " Td (b) Tj ET").getBytes("ISO-8859-1")
+      val out = graft.kernel.PdfParser.contentText(probe)
+      val expectNewline = oldVal != 0.0
+      out == (if (expectNewline) "a\nb" else "ab")
+    })
+  }
+
   test("langid/fingerprint: total on arbitrary strings") {
     check(Prop.forAll(Gen.asciiStr) { s =>
       TextAnalysis.langIdOf(s) != null && {
