@@ -87,6 +87,15 @@ object MergeSpec {
   /** Max payload bytes (config.py:15 MAX_CONTENT_LENGTH). */
   val MaxContentLength: Int = 10 * 1024 * 1024
 
+  /** Engine whitelist (the upload gate's ocr_type check, routes.py:36-39):
+    * an invalid engine is rejected AT SUBMISSION with the reference's
+    * literal, not mapped to per-row failures.
+    */
+  val ValidEngines: Set[String] = Set("standard", "llm", "ollama")
+
+  /** routes.py:39: "不支持的OCR类型: {ocr_type}", code INVALID_OCR_TYPE. */
+  def invalidOcrType(t: String): String = s"不支持的OCR类型: $t"
+
   // ---- llm-profile literals (A6, llm_service.py:255-317): defensive
   //      response handling returns these fixed strings AS the result text,
   //      never an exception. ----

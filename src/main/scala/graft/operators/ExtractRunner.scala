@@ -87,6 +87,10 @@ object ExtractRunner {
       buckets: Int = ExtractJob.DefaultBuckets,
       profile: ExtractKernel.Profile = ExtractKernel.Standard): RunReport = {
     import spark.implicits._
+    // the upload gate's ocr_type whitelist (routes.py:36-39): reject an
+    // unknown engine at submission with the reference's exact literal
+    require(graft.kernel.MergeSpec.ValidEngines(profile.engine),
+      graft.kernel.MergeSpec.invalidOcrType(profile.engine))
     val t0 = System.currentTimeMillis()
     val snapshotId = ExtractJob.snapshotIdOf(spark, pagesDir)
     val pages = spark.read.parquet(pagesDir).as[Page]

@@ -84,6 +84,16 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("runner: invalid engine rejected at submission with the reference literal (routes.py:39)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_engine").toString
+    PageSynth.pages(spark, sf0001).limit(1).write.mode("overwrite").parquet(s"$base/pages")
+    val e = intercept[IllegalArgumentException] {
+      ExtractRunner.run(spark, s"$base/pages", s"$base/out", buckets = 2,
+        profile = graft.kernel.ExtractKernel.Profile("tesseract5"))
+    }
+    assert(e.getMessage.contains("不支持的OCR类型: tesseract5"))
+  }
+
   test("runner: legacy status-less lineage files mix safely with new rows") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_legacy").toString
