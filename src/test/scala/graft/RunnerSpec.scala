@@ -84,6 +84,46 @@ class RunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("runner: bucketed ingest — same output as plain run; resume prunes done-bucket directories") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$base/pages")
+
+    // reference output from the classic (anti-join) path
+    val refOut = s"$base/ref"
+    ExtractRunner.run(spark, s"$base/pages", refOut, buckets = 8)
+
+    // bucketed path: ingest once, run, must land the identical table
+    val out = s"$base/out"
+    val n = ExtractRunner.ingest(spark, s"$base/pages", out, buckets = 8)
+    assert(n == 500)
+    val r1 = ExtractRunner.runBucketed(spark, out, buckets = 8)
+    assert(r1.docsProcessed == 500 && r1.bucketsDone == 8)
+    def tableOf(root: String) = spark.read.parquet(s"$root/extracted")
+      .select(col("url"), md5(col("text")).as("h"), col("status"))
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(tableOf(out) == tableOf(refOut),
+      "bucketed path must produce the identical extracted table")
+
+    // crash-resume: drop lineage for half the buckets, rerun — and the
+    // resume scan must PRUNE the done-bucket directories, not read them
+    val lin = spark.read.parquet(s"$out/lineage")
+    lin.filter(col("bucket") < 4).write.mode("overwrite").parquet(s"$base/lin_half")
+    spark.read.parquet(s"$base/lin_half").write.mode("overwrite").parquet(s"$out/lineage")
+    val done = (0 until 4)
+    val prunedScan = spark.read.parquet(s"$out/pages_bucketed")
+      .filter(!col("bucket").isin(done: _*))
+    val plan = prunedScan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"resume scan must partition-prune:\n$plan")
+    val r2 = ExtractRunner.runBucketed(spark, out, buckets = 8)
+    assert(r2.bucketsDone == 4, s"resume should process the 4 missing buckets, got ${r2.bucketsDone}")
+    assert(tableOf(out) == tableOf(refOut), "bucketed resume must converge")
+    // no-op rerun
+    val r3 = ExtractRunner.runBucketed(spark, out, buckets = 8)
+    assert(r3.docsProcessed == 0 && r3.bucketsDone == 0)
+  }
+
   test("runner: invalid engine rejected at submission with the reference literal (routes.py:39)") {
     val base = java.nio.file.Files.createTempDirectory("graft_engine").toString
     PageSynth.pages(spark, sf0001).limit(1).write.mode("overwrite").parquet(s"$base/pages")
