@@ -115,22 +115,41 @@ object ExtractRunner {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/table_meta")
 
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
+    writeAndFinalize(spark, outRoot, snapshotId, extracted,
+      todo.select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
+        .as[Int].collect().toSeq.sorted,
+      profile, t0)
+  }
+
+  /** Shared tail of both run paths: write under the cancel guard, then
+    * derive lineage from exactly the partitions this run wrote, append
+    * the snapshots ledger row, and report.
+    *
+    * A10 cancel semantics live here: cancel is a terminal STATE, not a
+    * crash (task.py:8-12, routes.py:253). A cancelled write job committed
+    * nothing (the parquet committer is job-atomic), so every todo bucket
+    * gets a 'cancelled' mark — a resume reprocesses exactly those, and an
+    * operator can see the run was cancelled rather than dead.
+    */
+  private def writeAndFinalize(
+      spark: SparkSession,
+      outRoot: String,
+      snapshotId: Long,
+      extracted: org.apache.spark.sql.Dataset[graft.model.Extracted],
+      runBucketIds: => Seq[Int],
+      profile: ExtractKernel.Profile,
+      t0: Long): RunReport = {
+    import spark.implicits._
+    lazy val bucketIds = runBucketIds // evaluate the (possibly job-running) thunk at most once
+    val lineagePath = s"$outRoot/lineage"
     spark.sparkContext.setJobGroup(jobGroupFor(snapshotId),
       s"graft extraction snapshot=$snapshotId", interruptOnCancel = true)
     try {
       ExtractJob.writeExtracted(extracted, s"$outRoot/extracted")
     } catch {
       case e: Throwable if isCancellation(e) =>
-        // A10: cancel is a terminal STATE, not a crash (task.py:8-12,
-        // routes.py:253). The cancelled write job committed nothing (the
-        // parquet committer is job-atomic), so every todo bucket is marked
-        // — a resume reprocesses exactly these, and an operator can see
-        // the run was cancelled rather than dead.
         spark.sparkContext.clearJobGroup()
-        val todoBuckets = todo
-          .select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
-          .as[Int].collect().toSeq.sorted
-        ExtractJob.cancelledLineage(spark, todoBuckets, snapshotId,
+        ExtractJob.cancelledLineage(spark, bucketIds, snapshotId,
             System.currentTimeMillis() - t0)
           .write.mode(SaveMode.Append).parquet(lineagePath)
         return RunReport(snapshotId, 0L, 0L,
@@ -140,11 +159,8 @@ object ExtractRunner {
     // lineage from what actually landed in this run's buckets — the
     // bucket isin prunes the landed read to those partition directories
     // instead of aggregating the whole output table every run
-    val runBucketIds = todo
-      .select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
-      .as[Int].collect().toSeq.sorted
     val landed = spark.read.parquet(s"$outRoot/extracted")
-      .filter(col("bucket").isin(runBucketIds: _*))
+      .filter(col("bucket").isin(bucketIds: _*))
     val wallMs = System.currentTimeMillis() - t0
     val lineageRows = ExtractJob
       .lineage(landed.as[graft.model.Extracted], snapshotId)
@@ -236,41 +252,7 @@ object ExtractRunner {
       .as[Page]
 
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
-    spark.sparkContext.setJobGroup(jobGroupFor(snapshotId),
-      s"graft extraction snapshot=$snapshotId", interruptOnCancel = true)
-    try {
-      ExtractJob.writeExtracted(extracted, s"$outRoot/extracted")
-    } catch {
-      case e: Throwable if isCancellation(e) =>
-        spark.sparkContext.clearJobGroup()
-        ExtractJob.cancelledLineage(spark, todoBuckets, snapshotId,
-            System.currentTimeMillis() - t0)
-          .write.mode(SaveMode.Append).parquet(lineagePath)
-        return RunReport(snapshotId, 0L, 0L,
-          System.currentTimeMillis() - t0, cancelled = true)
-    } finally spark.sparkContext.clearJobGroup()
-
-    // lineage derives from exactly the buckets THIS run wrote — the
-    // bucket isin prunes the landed read to those partition directories
-    // (deriving from the full landed table would make every resume pay a
-    // pass over the whole output)
-    val landed = spark.read.parquet(s"$outRoot/extracted")
-      .filter(col("bucket").isin(todoBuckets: _*))
-    val wallMs = System.currentTimeMillis() - t0
-    val lineageRows = ExtractJob
-      .lineage(landed.as[graft.model.Extracted], snapshotId)
-      .withColumn("wall_ms", lit(wallMs))
-      .select("snapshot_id", "bucket", "doc_count", "byte_count",
-        "ok_count", "fail_count", "failure_samples", "wall_ms", "status")
-    lineageRows.write.mode(SaveMode.Append).parquet(lineagePath)
-    val statsRow = lineageRows
-      .agg(coalesce(sum(col("doc_count")), lit(0L)), count(lit(1))).collect()(0)
-    Seq((snapshotId, statsRow.getLong(0), statsRow.getLong(1), wallMs,
-        java.time.Instant.now().toString, profile.engine))
-      .toDF("snapshot_id", "docs_processed", "buckets_done", "wall_ms",
-        "run_at", "engine")
-      .write.mode(SaveMode.Append).parquet(s"$outRoot/snapshots")
-    RunReport(snapshotId, statsRow.getLong(0), statsRow.getLong(1), wallMs)
+    writeAndFinalize(spark, outRoot, snapshotId, extracted, todoBuckets, profile, t0)
   }
 
   /** The table's bucket count is a TABLE property, not a caller guess: a
