@@ -127,11 +127,20 @@ object Bench {
       "q1_pricing_summary", "q3_top_revenue", "q_window_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "ann_bruteforce", "ann_lsh", "text_stats", "text_quality")
+    // The registered sketch queries materialize their signature stages
+    // for the DuckDB oracle; timing those wrappers would either include
+    // one-time parquet writes (cold) or SKIP the signature computation
+    // entirely (warm, reading the materialization back). Time the RAW
+    // operators instead — the full computation, every run, comparable to
+    // the round-1 numbers.
+    val rawOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "dedup_minhash_lsh" -> ((s, d) => graft.operators.Dedup.dedupMinhashLsh(s, d)),
+      "dedup_simhash" -> ((s, d) => graft.operators.Dedup.dedupSimhash(s, d)),
+      "ann_lsh" -> ((s, d) => graft.operators.Similarity.annLsh(s, d)),
+      "ann_ivf" -> ((s, d) => graft.operators.Similarity.annIvf(s, d)))
     val queryTimes = secondary.map { name =>
-      val fn = SparkEntry.queries(name)
-      // warm-up: first call pays JIT and (for sketch queries) the
-      // one-time oracle materialization parquet write — exclude both so
-      // the reported seconds measure the operator, comparable to round 1
+      val fn = rawOps.getOrElse(name, SparkEntry.queries(name))
+      // warm-up excludes JIT (matches the extract pass methodology)
       fn(sHi, sfDir).agg(count(lit(1))).collect()
       val (_, t) = timed {
         val df = fn(sHi, sfDir)

@@ -70,6 +70,17 @@ object SparkEntry {
     materialize(s, s"${oracleBase(dir)}/media_meta")(
       Multimodal.mediaMeta(s, dir).toDF())
 
+  /** MinHash-LSH pairs over the registered dedup corpus, with the band
+    * frame materialized once — shared by dedup_minhash_lsh and
+    * dedup_clusters_lsh so the signature kernel runs once per Verify and
+    * both queries derive from the identical bands.
+    */
+  private def minhashPairsMat(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshFromBands(s,
+      materialize(s, s"${oracleBase(dir)}/minhash_bands")(
+        Dedup.minhashBands(s, Dedup.corpus(s, dir))),
+      Dedup.corpus(s, dir))
+
   private def pipelineCorpusMat(s: SparkSession, dir: String): DataFrame =
     materialize(s, s"${oracleBase(dir)}/pipeline_corpus")(
       graft.operators.CorpusPipeline.corpus(s, dir)
@@ -175,10 +186,7 @@ object SparkEntry {
       // sketch stages (band/signature frames) materialize so DuckDB can
       // replicate the banding + verify relationally — the sketches are
       // oracle-checked, not rows-only
-      "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshFromBands(s,
-        materialize(s, s"${oracleBase(dir)}/minhash_bands")(
-          Dedup.minhashBands(s, Dedup.corpus(s, dir))),
-        Dedup.corpus(s, dir))),
+      "dedup_minhash_lsh" -> ((s, dir) => minhashPairsMat(s, dir)),
       "dedup_simhash" -> ((s, dir) => Dedup.dedupSimhashFromSigs(
         materialize(s, s"${oracleBase(dir)}/simhash_sigs")(
           Dedup.simhashSigs(s, Dedup.corpus(s, dir))))),
@@ -191,10 +199,7 @@ object SparkEntry {
       // per Verify even though two queries consume it.
       "dedup_clusters_lsh" -> ((s, dir) => Dedup.clustersFrom(s,
         materialize(s, s"${oracleBase(dir)}/lsh_pairs")(
-          Dedup.minhashLshFromBands(s,
-            materialize(s, s"${oracleBase(dir)}/minhash_bands")(
-              Dedup.minhashBands(s, Dedup.corpus(s, dir))),
-            Dedup.corpus(s, dir)).select(col("id_a"), col("id_b"))))),
+          minhashPairsMat(s, dir).select(col("id_a"), col("id_b"))))),
       // ---- similarity search ----
       "ann_bruteforce" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
       "ann_lsh" -> ((s, dir) => Similarity.annLshFrom(s, dir,
@@ -357,8 +362,8 @@ object SparkEntry {
            |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
            | FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
            |           JOIN embeddings q ON q.vec_id = cand.qid)
-           |SELECT qid, vec_id AS nid, rnk, round(sim, 4) AS sim FROM (
-           | SELECT qid, vec_id, sim,
+           |SELECT qid, vec_id AS nid, rnk FROM (
+           | SELECT qid, vec_id,
            |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
            | FROM scored) t
            |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
@@ -373,8 +378,8 @@ object SparkEntry {
            |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
            | FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
            |           JOIN embeddings q ON q.vec_id = cand.qid)
-           |SELECT qid, vec_id AS nid, rnk, round(sim, 4) AS sim FROM (
-           | SELECT qid, vec_id, sim,
+           |SELECT qid, vec_id AS nid, rnk FROM (
+           | SELECT qid, vec_id,
            |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
            | FROM scored) t
            |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,

@@ -65,6 +65,9 @@ object ExtractRunner {
     while (t != null && depth < 16) {
       t match {
         case _: org.apache.spark.TaskKilledException => return true
+        // a driver-thread interrupt during the write IS a cooperative
+        // cancel of this run (the caller's future/executor cancelling us)
+        case _: InterruptedException => return true
         case se: org.apache.spark.SparkException =>
           val m = se.getMessage
           if (m != null) {
@@ -109,10 +112,7 @@ object ExtractRunner {
     // write-then-read of the output table — here write first, then derive
     // lineage from the written table so the lineage reflects exactly what
     // landed).
-    // table property: the bucket modulus this table is written with
-    // (lookups resolve it from here — see tableBuckets)
-    Seq(buckets).toDF("buckets")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/table_meta")
+    recordTableBuckets(spark, outRoot, buckets)
 
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
     writeAndFinalize(spark, outRoot, snapshotId, extracted,
@@ -196,6 +196,9 @@ object ExtractRunner {
     */
   def ingest(spark: SparkSession, pagesDir: String, outRoot: String,
       buckets: Int = ExtractJob.DefaultBuckets): Long = {
+    // the ingest FIXES the table's modulus — record it so runBucketed and
+    // the lookups can never disagree with the directory layout
+    recordTableBuckets(spark, outRoot, buckets)
     val pages = spark.read.parquet(pagesDir)
     pages
       .withColumn("bucket", ExtractJob.bucketCol(buckets))
@@ -215,13 +218,21 @@ object ExtractRunner {
   def runBucketed(
       spark: SparkSession,
       outRoot: String,
-      buckets: Int = ExtractJob.DefaultBuckets,
+      buckets: Int = -1,
       profile: ExtractKernel.Profile = ExtractKernel.Standard): RunReport = {
     import spark.implicits._
     require(graft.kernel.MergeSpec.ValidEngines(profile.engine),
       graft.kernel.MergeSpec.invalidOcrType(profile.engine))
     val t0 = System.currentTimeMillis()
     val bucketedDir = s"$outRoot/pages_bucketed"
+    // the modulus comes from the table the ingest laid out; an explicit
+    // caller value must MATCH it (a mismatch would re-bucket rows with a
+    // different modulus than the directory layout and corrupt the
+    // dynamic-overwrite contract)
+    val tb = tableBuckets(spark, outRoot)
+    require(buckets <= 0 || buckets == tb,
+      s"table at $outRoot was ingested with buckets=$tb, caller passed $buckets")
+    val effBuckets = tb
     val snapshotId = ExtractJob.snapshotIdOf(spark, bucketedDir)
     val lineagePath = s"$outRoot/lineage"
 
@@ -237,9 +248,6 @@ object ExtractRunner {
       .select(col("bucket")).distinct().as[Int].collect().toSet
     val todoBuckets = (presentBuckets -- doneBuckets).toSeq.sorted
 
-    Seq(buckets).toDF("buckets")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outRoot/table_meta")
-
     // no remaining work: a no-op resume must cost directory listings, not
     // a pass over the landed table
     if (todoBuckets.isEmpty)
@@ -251,23 +259,55 @@ object ExtractRunner {
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[Page]
 
-    val extracted = ExtractJob.extract(spark, todo, buckets, profile)
+    val extracted = ExtractJob.extract(spark, todo, effBuckets, profile)
     writeAndFinalize(spark, outRoot, snapshotId, extracted, todoBuckets, profile, t0)
   }
 
   /** The table's bucket count is a TABLE property, not a caller guess: a
     * lookup hashing with the wrong modulus prunes to directories that
-    * don't contain the url and silently returns nothing. run() records
-    * the count in `table_meta`; lookups resolve it from there unless the
-    * caller passes an explicit positive value.
+    * don't contain the url and silently returns nothing. run()/ingest()
+    * record the count in `table_meta`; lookups resolve it from there
+    * unless the caller passes an explicit positive value.
+    *
+    * Absence (a legacy table) falls back to the default; an actual READ
+    * failure propagates — falling back there would reintroduce the
+    * silent-empty-lookup failure this property exists to prevent.
     */
-  def tableBuckets(spark: SparkSession, outRoot: String): Int =
-    try spark.read.parquet(s"$outRoot/table_meta")
+  def tableBuckets(spark: SparkSession, outRoot: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outRoot/table_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) ExtractJob.DefaultBuckets
+    else spark.read.parquet(metaPath.toString)
       .select(col("buckets")).collect()(0).getInt(0)
-    catch { case _: Exception => ExtractJob.DefaultBuckets }
+  }
 
+  // the modulus is immutable per table — resolve once per outRoot so the
+  // point-lookup hot path doesn't pay a parquet read per call
+  private val bucketsCache = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def resolveBuckets(spark: SparkSession, outRoot: String, buckets: Int): Int =
-    if (buckets > 0) buckets else tableBuckets(spark, outRoot)
+    if (buckets > 0) buckets
+    else bucketsCache.getOrElseUpdate(outRoot, tableBuckets(spark, outRoot))
+
+  /** Record (or validate) the table's bucket modulus. Guards the property
+    * the lookups depend on: writing a SECOND modulus into an existing
+    * table would mix partition layouts and break every hash-pruned read,
+    * so a mismatch fails the run at submission.
+    */
+  private def recordTableBuckets(spark: SparkSession, outRoot: String, buckets: Int): Unit = {
+    import spark.implicits._
+    val existing = tableBuckets(spark, outRoot)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outRoot/table_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath)) {
+      require(existing == buckets,
+        s"table at $outRoot was written with buckets=$existing; " +
+          s"running with buckets=$buckets would mix partition moduli")
+    } else {
+      Seq(buckets).toDF("buckets")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath.toString)
+    }
+    bucketsCache.put(outRoot, buckets): Unit
+  }
 
   /** Status point lookup — the `GET /api/file/status/<id>` analogue
     * (routes.py:138-204, task.py:60-84): one row for a url, served by

@@ -128,11 +128,16 @@ object Similarity {
     * equal-stride pick from it, so the codebook is bit-reproducible
     * across runs and cluster sizes. Returns (cellId, centroid).
     */
-  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    // memoized per input dir: the codebook is deterministic, and
-    // annIvfCells + annIvfProbes would otherwise each pay the sample
-    // collect + Lloyd training
-    centroidCache.getOrElseUpdate(dir, trainIvfCentroids(s, dir))
+  def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    // memoized per (dir, input-file fingerprint): the codebook is
+    // deterministic, and annIvfCells + annIvfProbes would otherwise each
+    // pay the sample collect + Lloyd training. Keying on the resolved
+    // file list means a REGENERATED table at the same path retrains
+    // instead of silently reusing a stale codebook.
+    val files = s.read.parquet(s"$dir/embeddings.parquet").inputFiles.sorted
+    val fp = files.foldLeft(17L)((acc, f) => acc * 31L + f.hashCode.toLong)
+    centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
+  }
 
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
@@ -238,8 +243,11 @@ object Similarity {
       .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
-        round(col("sim"), 4).as("sim"))
+      // no sim column in the output: cross-engine cosine values differ in
+      // the last ulps (different fold order), and a rounded float column
+      // is a boundary-flake in the exact hash compare — the bruteforce
+      // oracle omits it for the same reason; ordering still uses sim
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -320,8 +328,11 @@ object Similarity {
       .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopK)
-      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
-        round(col("sim"), 4).as("sim"))
+      // no sim column in the output: cross-engine cosine values differ in
+      // the last ulps (different fold order), and a rounded float column
+      // is a boundary-flake in the exact hash compare — the bruteforce
+      // oracle omits it for the same reason; ordering still uses sim
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
 }
