@@ -417,6 +417,38 @@ object Relational {
       | USING (nationkey)
       |ORDER BY nationkey""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list —
+    * here per-flag totals alongside flag×status detail). Expressed via
+    * SQL over the parquet path (the DataFrame API spells only rollup/cube;
+    * Catalyst plans both identically through Expand).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         | round(sum(l_quantity), 2) AS qty
+         |FROM parquet.`$dir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      | round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Set op: months with BOTH shipments and new orders (INTERSECT =
+    * distinct ∩ — completes the set-op family next to EXCEPT/UNION ALL).
+    */
+  def qIntersect(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem").select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .intersect(table(s, dir, "orders").select(date_format(col("o_orderdate"), "yyyy-MM").as("month")))
+      .orderBy(col("month"))
+
+  val qIntersectSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month FROM lineitem
+      |INTERSECT SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders ORDER BY month""".stripMargin
+
   /** All relational queries + oracles, keyed for SparkEntry. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q1_pricing_summary", q1PricingSummary _, q1Sql),
@@ -428,6 +460,8 @@ object Relational {
     ("q_window_lag", qWindowLag _, qWindowLagSql),
     ("q_topk", qTopK _, qTopKSql),
     ("q_setop_except", qSetOp _, qSetOpSql),
+    ("q_setop_intersect", qIntersect _, qIntersectSql),
+    ("q_grouping_sets", qGroupingSets _, qGroupingSetsSql),
     ("q_union_all", qUnionAll _, qUnionAllSql),
     ("q_scalar_string", qScalarString _, qScalarStringSql),
     ("q_date_buckets", qDateBuckets _, qDateBucketsSql),
