@@ -141,6 +141,8 @@ object SparkEntry {
             sum(col("n_pages").cast("long")).as("total_pages"))
           .orderBy(col("status"))
       }),
+      "stream_event_windows" -> ((s, dir) =>
+        StreamingExtract.eventWindowCounts(s, dir)),
       "extract_profiles" -> ((s, dir) => {
         // the reference's three engines as deterministic kernel profiles
         // (A4/A5/A7) + all 5 ollama output_format serializers + the A6
@@ -416,6 +418,12 @@ object SparkEntry {
            |) t ORDER BY stage""".stripMargin
     )
     Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++ Map(
+      // streaming windowed agg == batch group-by (complete mode): DuckDB
+      // recomputes the tumbling-window counts relationally
+      "stream_event_windows" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+          | count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
       "dedup_exact" -> Dedup.dedupExactSql,
       "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
       "dedup_embedding" -> Dedup.dedupEmbeddingSql,

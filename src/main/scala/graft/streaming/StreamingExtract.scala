@@ -65,6 +65,50 @@ object StreamingExtract {
     queryName
   }
 
+  /** Event-time tumbling-window aggregation with a watermark over the
+    * events table — the windowed-agg streaming shape, driven to
+    * completion with AvailableNow. Complete output mode makes the final
+    * table batch-equivalent, so the DuckDB oracle recomputes the same
+    * per-day counts relationally (the driver-checked counterpart to the
+    * WatermarkSpec late-data/append-mode tests).
+    */
+  def eventWindowCounts(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val eventsFile = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(eventsFile).schema
+    // the file-stream source requires a DIRECTORY; the testdata table is a
+    // single parquet file, so stage it into one
+    val eventsPath = {
+      val f = new java.io.File(eventsFile)
+      if (f.isDirectory) eventsFile
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_events_stream")
+        java.nio.file.Files.copy(f.toPath, d.resolve("events.parquet"))
+        d.toString
+      }
+    }
+    // unique sink name: memory-sink names are session-global and a rerun
+    // in the same JVM must not collide (output is deterministic either way)
+    val name = "stream_event_windows_" + java.lang.Long.toHexString(System.nanoTime())
+    val q = spark.readStream.schema(schema).parquet(eventsPath)
+      // the table stores TIMESTAMP_NTZ; event-time watermarks need
+      // TIMESTAMP (session TZ is UTC, so values are unchanged)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** File-sink variant (the production shape: parquet out, exactly-once via
     * the sink's commit log + source checkpoint).
     */
