@@ -52,6 +52,21 @@ class WatermarkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_event_windows: streaming windowed agg equals the batch group-by") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sf0001
+    val streamed = graft.streaming.StreamingExtract.eventWindowCounts(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming(${streamed.size}) != batch(${batch.size})")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark drops a re-crawled url") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
