@@ -103,10 +103,23 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val out = spark.table(name)
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
+      // detach from the memory sink so the staged dir and sink table can
+      // be released (repeat invocations must not accumulate /tmp copies
+      // of the events table or session-catalog temp views)
+      .localCheckpoint()
+    spark.catalog.dropTempView(name)
+    if (eventsPath != eventsFile) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(eventsPath))
+    }
+    out
   }
 
   /** File-sink variant (the production shape: parquet out, exactly-once via
