@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses stdout of `sbt -batch "runMain graft.Bench"` for a
+// bare JSON line. By default sbt routes forked-process output through its
+// logger, prefixing every line with [info]/[error] — which made the driver's
+// parse come back null two rounds running. StdoutOutput passes the forked
+// JVM's stdout/stderr straight through, unprefixed; showSuccess drops the
+// trailing "[success] Total time" line so the JSON is the last stdout line.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,6 +31,8 @@ import graft.sources.PageSynth
   */
 object ExtractRunner {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class RunReport(
       snapshotId: Long,
       docsProcessed: Long,
@@ -114,11 +116,29 @@ object ExtractRunner {
     // landed).
     recordTableBuckets(spark, outRoot, buckets)
 
+    // Touched-bucket ids, EAGERLY and from a url-only projection:
+    //  - eager: the A10 cancel handler needs the ids AFTER a cancel has
+    //    landed; launching a fresh Spark job there could itself be killed
+    //    by the still-pending interrupt. Computed here, the ids are plain
+    //    driver data by the time the guarded write starts.
+    //  - url-only: bucketCol is a pure function of url, so parquet column
+    //    pruning keeps the payload (html) column unread — the payload is
+    //    scanned exactly once per run, by the kernel (PlanShapeSpec
+    //    asserts this).
+    val todoBuckets = todo
+      .select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
+      .as[Int].collect().toSeq.sorted
+    // no remaining work → don't spin up the kernel/write at all (mirrors
+    // runBucketed's no-op resume); the run still gets its ledger row —
+    // "one row per run" includes no-op resumes
+    if (todoBuckets.isEmpty) {
+      val wallMs = System.currentTimeMillis() - t0
+      appendSnapshotRow(spark, outRoot, snapshotId, 0L, 0L, wallMs, profile.engine)
+      return RunReport(snapshotId, 0L, 0L, wallMs)
+    }
+
     val extracted = ExtractJob.extract(spark, todo, buckets, profile)
-    writeAndFinalize(spark, outRoot, snapshotId, extracted,
-      todo.select(ExtractJob.bucketCol(buckets).as("bucket")).distinct()
-        .as[Int].collect().toSeq.sorted,
-      profile, t0)
+    writeAndFinalize(spark, outRoot, snapshotId, extracted, todoBuckets, profile, t0)
   }
 
   /** Shared tail of both run paths: write under the cancel guard, then
@@ -136,11 +156,10 @@ object ExtractRunner {
       outRoot: String,
       snapshotId: Long,
       extracted: org.apache.spark.sql.Dataset[graft.model.Extracted],
-      runBucketIds: => Seq[Int],
+      bucketIds: Seq[Int], // concrete — both run paths compute it before the guarded write
       profile: ExtractKernel.Profile,
       t0: Long): RunReport = {
     import spark.implicits._
-    lazy val bucketIds = runBucketIds // evaluate the (possibly job-running) thunk at most once
     val lineagePath = s"$outRoot/lineage"
     spark.sparkContext.setJobGroup(jobGroupFor(snapshotId),
       s"graft extraction snapshot=$snapshotId", interruptOnCancel = true)
@@ -149,9 +168,23 @@ object ExtractRunner {
     } catch {
       case e: Throwable if isCancellation(e) =>
         spark.sparkContext.clearJobGroup()
-        ExtractJob.cancelledLineage(spark, bucketIds, snapshotId,
-            System.currentTimeMillis() - t0)
-          .write.mode(SaveMode.Append).parquet(lineagePath)
+        // interruptOnCancel may have left the interrupt pending on THIS
+        // driver thread — clear it, or the mark-write job below is
+        // immediately killed and the cancel is indistinguishable from a
+        // crash (the exact failure mode A10 exists to prevent)
+        Thread.interrupted()
+        // mark-write failures must not mask the graceful-cancel report:
+        // resume correctness never depends on the marks (only 'completed'
+        // rows skip buckets), so log and carry on
+        try
+          ExtractJob.cancelledLineage(spark, bucketIds, snapshotId,
+              System.currentTimeMillis() - t0)
+            .write.mode(SaveMode.Append).parquet(lineagePath)
+        catch {
+          case me: Exception =>
+            log.warn(s"cancelled-mark write failed for snapshot=$snapshotId " +
+              s"(resume unaffected; cancel-vs-crash distinction lost for this run)", me)
+        }
         return RunReport(snapshotId, 0L, 0L,
           System.currentTimeMillis() - t0, cancelled = true)
     } finally spark.sparkContext.clearJobGroup()
@@ -175,14 +208,25 @@ object ExtractRunner {
       .agg(coalesce(sum(col("doc_count")), lit(0L)), count(lit(1))).collect()(0)
     val docsProcessed = statsRow.getLong(0)
     val bucketsDone = statsRow.getLong(1)
-    // snapshots metadata: the run ledger (Iceberg snapshot-log analogue)
+    appendSnapshotRow(spark, outRoot, snapshotId, docsProcessed, bucketsDone,
+      wallMs, profile.engine)
+
+    RunReport(snapshotId, docsProcessed, bucketsDone, wallMs)
+  }
+
+  /** One row in the run ledger (Iceberg snapshot-log analogue) — appended
+    * by EVERY run, including no-op resumes, so operators can answer "did
+    * the scheduled run happen" from the ledger alone.
+    */
+  private def appendSnapshotRow(spark: SparkSession, outRoot: String,
+      snapshotId: Long, docsProcessed: Long, bucketsDone: Long,
+      wallMs: Long, engine: String): Unit = {
+    import spark.implicits._
     Seq((snapshotId, docsProcessed, bucketsDone, wallMs,
-        java.time.Instant.now().toString, profile.engine))
+        java.time.Instant.now().toString, engine))
       .toDF("snapshot_id", "docs_processed", "buckets_done", "wall_ms",
         "run_at", "engine")
       .write.mode(SaveMode.Append).parquet(s"$outRoot/snapshots")
-
-    RunReport(snapshotId, docsProcessed, bucketsDone, wallMs)
   }
 
   /** One-time bucketed ingest: repartition pages by the stable url-hash
@@ -249,9 +293,12 @@ object ExtractRunner {
     val todoBuckets = (presentBuckets -- doneBuckets).toSeq.sorted
 
     // no remaining work: a no-op resume must cost directory listings, not
-    // a pass over the landed table
-    if (todoBuckets.isEmpty)
-      return RunReport(snapshotId, 0L, 0L, System.currentTimeMillis() - t0)
+    // a pass over the landed table — but it still gets its ledger row
+    if (todoBuckets.isEmpty) {
+      val wallMs = System.currentTimeMillis() - t0
+      appendSnapshotRow(spark, outRoot, snapshotId, 0L, 0L, wallMs, profile.engine)
+      return RunReport(snapshotId, 0L, 0L, wallMs)
+    }
 
     // partition pruning: done-bucket directories are never opened
     val todo = spark.read.parquet(bucketedDir)

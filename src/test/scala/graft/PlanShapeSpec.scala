@@ -28,6 +28,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"column pruning lost:\n$plan")
   }
 
+  test("classic run: pages payload (html) is scanned exactly once, by the kernel") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_once").toString
+    PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$tmp/pages")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.ExtractRunner.run(spark, s"$tmp/pages", s"$tmp/out", buckets = 8)
+      // the listener bus is async: poll until the captured set stops
+      // growing (two consecutive equal sizes with something captured)
+      var last = -1
+      var stable = 0
+      val deadline = System.currentTimeMillis() + 15000
+      while (stable < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        val n = plans.size
+        if (n == last && n > 0) stable += 1 else stable = 0
+        last = n
+      }
+      import scala.jdk.CollectionConverters._
+      val payloadScans = plans.asScala.count(p =>
+        p.contains(s"$tmp/pages") && p.contains("html:binary"))
+      assert(payloadScans == 1,
+        s"expected exactly one html-reading scan of the pages table, got $payloadScans:\n" +
+          plans.asScala.filter(p => p.contains(s"$tmp/pages")).mkString("\n----\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("statusBatch: bucket isin prunes partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_plan_sb").toString
     PageSynth.pages(spark, sf0001).write.mode("overwrite").parquet(s"$tmp/pages")
