@@ -90,9 +90,22 @@ object ExtractKernel {
       Extracted(p.url, Failed, "", Seq.empty, MergeSpec.FileTooLarge, 0, 0, profile.engine, bucket)
     else if (isPdf(b)) extractPdf(p, b, bucket, profile)
     else if (looksHtml(b)) extractHtml(p, b, bucket, profile, arena)
-    else
-      Extracted(p.url, Failed, "", Seq.empty,
-        MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
+    else ImageHeader.parse(b) match {
+      // resolution cap (API.md:473, max 4096x4096) — checked from the
+      // header-parsed dimensions, like the size cap checks length: an
+      // oversize image is rejected with its own validation error, not
+      // the generic unsupported-type one
+      case Some(d) if d.width > MergeSpec.MaxImageDim || d.height > MergeSpec.MaxImageDim =>
+        Extracted(p.url, Failed, "", Seq.empty,
+          MergeSpec.resolutionTooLarge(d.width, d.height), 0, 0, profile.engine, bucket)
+      case _ =>
+        // raster within cap still lands here: this engine has no OCR
+        // codec, so image payloads are unsupported-by-design (documented
+        // divergence — the single-unit HTML branch plays process_image's
+        // role); everything else is a genuinely unknown payload
+        Extracted(p.url, Failed, "", Seq.empty,
+          MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
+    }
   }
 
   private def extractHtml(p: PageRaw, b: Array[Byte], bucket: Int, profile: Profile,

@@ -87,6 +87,16 @@ object MergeSpec {
   /** Max payload bytes (config.py:15 MAX_CONTENT_LENGTH). */
   val MaxContentLength: Int = 10 * 1024 * 1024
 
+  /** Image resolution cap (API.md:473: "图片分辨率: 最大 4096x4096").
+    * The reference DOCUMENTS the limit but ships no enforcement code or
+    * error literal, so this string is ours, styled after its sibling
+    * validation literals (文件大小超过限制 pattern). Checked against
+    * header-parsed dimensions (kernel.ImageHeader) in the kernel's
+    * validation ladder, right after the size cap.
+    */
+  val MaxImageDim: Int = 4096
+  def resolutionTooLarge(w: Int, h: Int): String = s"图片分辨率超过限制: ${w}x$h"
+
   /** Engine whitelist (the upload gate's ocr_type check, routes.py:36-39):
     * an invalid engine is rejected AT SUBMISSION with the reference's
     * literal, not mapped to per-row failures.

@@ -7,38 +7,42 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, exactly like the `html` column of
-  * the pages table. The Spark-side machinery here is real and tested —
-  * schema, partition-preserving typed map, bounded per-row memory, batch
-  * shape — while the codec itself is STUBBED (this container has no
-  * image/audio libraries): `stubDecode` produces deterministic fake
-  * dimensions from the payload bytes and is clearly marked as the seam
-  * where a real decoder (JNI/FFI codec, or Pandas UDF over mapInPandas on
-  * a PySpark cluster) plugs in.
+  * the pages table. The Spark-side machinery is real and tested — schema,
+  * partition-preserving typed map, bounded per-row memory, batch shape.
   *
-  * Real computations (not stubbed): content sniffing, byte count, xxhash64
-  * content hash, byte-histogram Shannon entropy — the triage columns a
-  * 100 TB media crawl actually partitions and filters on before spending
-  * decode cycles.
+  * Real computations: content sniffing, byte count, xxhash64 content
+  * hash, byte-histogram Shannon entropy, and — for raster containers
+  * (png/jpg/gif/tiff/bmp) — HEADER-parsed width/height/decode_ok via
+  * kernel.ImageHeader (pure-JVM, no codec). These are the triage columns
+  * a 100 TB media crawl partitions and filters on before spending decode
+  * cycles.
+  *
+  * The remaining seam: full PIXEL decode (raster data, audio samples,
+  * video frames) needs a codec this container doesn't ship — a real build
+  * plugs a JNI/FFI codec or a Pandas UDF over mapInPandas into the same
+  * typed map. Dimensions and decode_ok are already real, from the header.
   */
 object Multimodal {
 
   final case class MediaMeta(
       url: String,
-      media_type: String, // sniffed: html | pdf | zip | empty | bin
+      media_type: String, // sniffed: html | pdf | zip | empty | png | jpg | gif | tiff | bmp | bin
       n_bytes: Long,
       content_hash: Long, // xxhash64 of payload (dedup/triage key)
       entropy_m: Long,    // Shannon entropy of byte histogram, millibits
-      width: Int,         // STUB decode output (deterministic fake)
-      height: Int,        // STUB decode output (deterministic fake)
-      decode_ok: Boolean)
+      width: Int,         // header-parsed (ImageHeader); 0 = not a raster / unparseable
+      height: Int,        // header-parsed (ImageHeader)
+      decode_ok: Boolean) // header parsed successfully
 
   def sniffType(b: Array[Byte]): String = {
     if (b == null || b.isEmpty) "empty"
     else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
     else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
-    else if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
-      .toLowerCase(java.util.Locale.ROOT).contains("<!doctype")) "html"
-    else "bin"
+    else graft.kernel.ImageHeader.formatOf(b).getOrElse {
+      if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
+        .toLowerCase(java.util.Locale.ROOT).contains("<!doctype")) "html"
+      else "bin"
+    }
   }
 
   /** Shannon entropy of the byte histogram, in millibits (integer → exact
@@ -60,25 +64,19 @@ object Multimodal {
     math.round(h / math.log(2.0) * 1000.0)
   }
 
-  /** ??? — STUB decode. A real build replaces this with an image/audio
-    * codec; everything feeding it (binary column, typed row, partition
-    * batching) and everything consuming it (schema, downstream aggs) is
-    * the real production plumbing. The fake is a pure function of the
-    * payload hash so tests are deterministic.
+  /** Header decode: real width/height for raster containers, parsed from
+    * the container header by kernel.ImageHeader. Non-raster payloads (or
+    * malformed headers) get (0, 0, false). Pixel decode — the part that
+    * needs a codec — is the documented seam in the object scaladoc.
     */
-  def stubDecode(b: Array[Byte]): (Int, Int, Boolean) = {
-    if (b == null || b.isEmpty) (0, 0, false)
-    else {
-      val h = XxHash.hashBytes(b, 42L)
-      val w = 16 + (math.abs(h % 2048)).toInt
-      val ht = 16 + (math.abs((h >> 24) % 2048)).toInt
-      (w, ht, true)
-    }
-  }
+  def decodeDims(b: Array[Byte]): (Int, Int, Boolean) =
+    graft.kernel.ImageHeader.parse(b)
+      .map(d => (d.width, d.height, true))
+      .getOrElse((0, 0, false))
 
   def metaOf(p: Page): MediaMeta = {
     val b = if (p.html == null) Array.emptyByteArray else p.html
-    val (w, h, ok) = stubDecode(b)
+    val (w, h, ok) = decodeDims(b)
     MediaMeta(p.url, sniffType(b), b.length.toLong,
       XxHash.hashBytes(b, 42L), entropyMillibits(b), w, h, ok)
   }

@@ -33,19 +33,38 @@ object PageSynth {
   case object KEmpty extends Kind
   case object KUnsupported extends Kind
   case object KOversize extends Kind
+  case object KImage extends Kind
+  case object KImageOversizedRes extends Kind
 
   /** exactly one oversize doc per corpus (10 MB cap + 1, config.py:15) —
     * a single fixed id so synthesis cost stays O(10 MB) at every SF
     */
   val OversizeDocId = 61L
 
+  /** one raster image claiming > 4096x4096 (the API.md:473 resolution-cap
+    * fixture); header-only payload, so any id is cheap
+    */
+  val OversizeResDocId = 83L
+  val OversizeResDims: (Int, Int) = (5000, 4200)
+
   def kindOf(id: Long): Kind =
     if (id == OversizeDocId) KOversize
+    else if (id == OversizeResDocId) KImageOversizedRes
     else if (id % 101 == 13) KEmpty
     else if (id % 101 == 29) KUnsupported
+    else if (id % 101 == 59) KImage
     else if (id % 101 == 47) KCorruptPdf
     else if (id % 10 == 7) KPdf
     else KHtml
+
+  /** image fixture format cycles through the reference-accepted rasters
+    * (config.py:17: png, jpg/jpeg, tiff); dims are deterministic in the id
+    * and always within the 4096 cap
+    */
+  def imageSpecFor(id: Long): (String, Int, Int) = {
+    val fmt = (id % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "tiff" }
+    (fmt, 40 + (id % 1000).toInt, 30 + (id % 640).toInt)
+  }
 
   def urlFor(d: Doc): String = {
     val h = if (d.doc_id % 10 < 6) d.doc_id % 3 else d.doc_id % 97
@@ -226,6 +245,15 @@ object PageSynth {
     case KUnsupported =>
       val filler = s"unsupported payload for doc ${d.doc_id}".getBytes("UTF-8")
       "PK".getBytes("UTF-8") ++ Array[Byte](3, 4) ++ filler
+    case KImage =>
+      val (fmt, w, h) = imageSpecFor(d.doc_id)
+      fmt match {
+        case "png" => ImageGen.png(w, h)
+        case "jpg" => ImageGen.jpeg(w, h)
+        case _     => ImageGen.tiff(w, h)
+      }
+    case KImageOversizedRes =>
+      ImageGen.png(OversizeResDims._1, OversizeResDims._2)
     case KPdf => PdfGen.build(pdfPageTexts(d))
     case KCorruptPdf =>
       val pages = pdfPageTexts(d)
@@ -251,6 +279,14 @@ object PageSynth {
       Golden(urlFor(d), "failed", "", MergeSpec.EmptyFile, 0, 0)
     case KUnsupported =>
       Golden(urlFor(d), "failed", "", MergeSpec.unsupportedType(".zip"), 0, 0)
+    case KImage =>
+      // within-cap raster: unsupported-by-design in this engine (no OCR
+      // codec) — the A1 dispatch labels it with the sniffed extension
+      val (fmt, _, _) = imageSpecFor(d.doc_id)
+      Golden(urlFor(d), "failed", "", MergeSpec.unsupportedType(s".$fmt"), 0, 0)
+    case KImageOversizedRes =>
+      Golden(urlFor(d), "failed", "",
+        MergeSpec.resolutionTooLarge(OversizeResDims._1, OversizeResDims._2), 0, 0)
     case KPdf =>
       val (txt, nf) = MergeSpec.mergePages(pdfPageTexts(d).map(Right(_)))
       Golden(urlFor(d), "completed", txt, "", pdfPageTexts(d).length, nf)

@@ -173,6 +173,27 @@ class KernelSpec extends AnyFunSuite {
     assert(html.status == "completed" && html.text == "hi")
   }
 
+  test("dispatch: image payloads — within-cap unsupported, over-cap resolution literal (API.md:473)") {
+    // within the 4096x4096 cap: raster payloads are unsupported-by-design
+    // (no OCR codec), labeled with the sniffed extension
+    val png = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.png(640, 480)), 0)
+    assert(png.status == "failed" && png.error == "不支持的文件类型: .png")
+    val jpg = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.jpeg(100, 80)), 0)
+    assert(jpg.status == "failed" && jpg.error == "不支持的文件类型: .jpg")
+    val tif = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.tiff(4096, 4096)), 0)
+    assert(tif.status == "failed" && tif.error == "不支持的文件类型: .tiff")
+    // over the cap (either axis): the resolution-cap validation fires with
+    // the exact literal, carrying the header-parsed dimensions
+    val wide = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.png(5000, 4200)), 0)
+    assert(wide.status == "failed" && wide.error == "图片分辨率超过限制: 5000x4200")
+    val tall = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.jpeg(100, 4097)), 0)
+    assert(tall.status == "failed" && tall.error == "图片分辨率超过限制: 100x4097")
+    // a corrupt raster header falls through to unsupported, never throws
+    val broken = graft.sources.ImageGen.png(640, 480).take(14)
+    val bad = ExtractKernel.extractOne(mkPage(broken), 0)
+    assert(bad.status == "failed" && bad.error == "不支持的文件类型: .png")
+  }
+
   // ---- engine profiles (A5-A7: llm defensive literals, ollama serializers) ----
 
   test("profiles: llm response ladder; ollama serializers (all 5 formats)") {

@@ -322,23 +322,34 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- multimodal plumbing ----
 
-  test("multimodal: sniff, entropy, stub decode determinism") {
+  test("multimodal: sniff, entropy, header-parsed dimensions") {
     assert(Multimodal.sniffType("<!DOCTYPE html><p>x</p>".getBytes) == "html")
     assert(Multimodal.sniffType("%PDF-1.4".getBytes) == "pdf")
     assert(Multimodal.sniffType("PK".getBytes ++ Array[Byte](3, 4)) == "zip")
     assert(Multimodal.sniffType(Array.emptyByteArray) == "empty")
+    assert(Multimodal.sniffType(graft.sources.ImageGen.png(3, 5)) == "png")
+    assert(Multimodal.sniffType(graft.sources.ImageGen.jpeg(3, 5)) == "jpg")
+    assert(Multimodal.sniffType(graft.sources.ImageGen.tiff(3, 5)) == "tiff")
     // uniform byte histogram → exactly 8 bits of entropy
     val uniform = Array.tabulate(256 * 4)(i => (i % 256).toByte)
     assert(Multimodal.entropyMillibits(uniform) == 8000L)
     assert(Multimodal.entropyMillibits("aaaa".getBytes) == 0L)
-    val d1 = Multimodal.stubDecode("payload".getBytes)
-    assert(d1 == Multimodal.stubDecode("payload".getBytes)) // deterministic
-    assert(d1._3)
+    // real header decode: dims round-trip through each fixture builder
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.png(640, 480)) == ((640, 480, true)))
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.jpeg(1920, 1080)) == ((1920, 1080, true)))
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.tiff(800, 600)) == ((800, 600, true)))
+    assert(Multimodal.decodeDims("not an image".getBytes) == ((0, 0, false)))
+    // truncated header must not throw
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.png(640, 480).take(12)) == ((0, 0, false)))
     import spark.implicits._
     val triage = Multimodal.mediaTriage(spark, sf0001)
       .select(col("media_type"), col("n_docs")).as[(String, Long)].collect().toMap
-    assert(triage.keySet == Set("html", "pdf", "zip", "empty"))
+    assert(triage.keySet == Set("html", "pdf", "zip", "empty", "png", "jpg", "tiff"))
     assert(triage.values.sum == 500)
+    // raster rows carry real dims in the distributed meta path too
+    val pngMeta = Multimodal.mediaMeta(spark, sf0001)
+      .filter(col("media_type") === "png").collect()
+    assert(pngMeta.nonEmpty && pngMeta.forall(m => m.decode_ok && m.width > 0 && m.height > 0))
   }
 
   // ---- streaming parity + checkpoint exactly-once ----
