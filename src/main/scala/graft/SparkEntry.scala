@@ -246,9 +246,14 @@ object SparkEntry {
     // materialized kernel outputs as DuckDB relations
     def rp(sub: String) = s"read_parquet('$b/$sub/*.parquet')"
     val extractionOracles = Map(
-      // kernel output read back verbatim (the kernel itself is verified by
-      // golden byte-identity in the specs; this pins serialization + the
-      // driver's hash over every row)
+      // SERIALIZATION-ONLY oracle: reads back the Spark-materialized
+      // parquet verbatim, so it pins parquet round-trip + the driver's
+      // column-sorted hash over every row — NOT the kernel computation.
+      // The kernel itself is attested by extract_golden_check (DuckDB
+      // independently re-compares extracted vs golden-by-construction
+      // text bytes), the 1M-doc GoldenScale run, and the specs.
+      // mm_media_meta below is the same construction. Do not over-credit
+      // these two rows when auditing oracle strength (SURVEY §8 footnote).
       "extract_main" ->
         s"""SELECT url, status, text, error, n_pages, n_failed_pages, engine, bucket
            |FROM ${rp("extracted")}""".stripMargin,
@@ -296,6 +301,9 @@ object SparkEntry {
         s"""SELECT status, CAST(count(*) AS BIGINT) AS n,
            | CAST(sum(n_pages) AS BIGINT) AS total_pages
            |FROM ${rp("extracted")} GROUP BY status ORDER BY status""".stripMargin,
+      // SERIALIZATION-ONLY oracle (see extract_main note): verbatim
+      // read-back; the meta computation is spec-verified (OperatorsSpec
+      // header round-trips) and mm_triage genuinely re-aggregates it
       "mm_media_meta" ->
         s"""SELECT url, media_type, n_bytes, content_hash, entropy_m, width, height, decode_ok
            |FROM ${rp("media_meta")}""".stripMargin,
@@ -366,7 +374,7 @@ object SparkEntry {
            |           JOIN embeddings q ON q.vec_id = cand.qid)
            |SELECT qid, vec_id AS nid, rnk FROM (
            | SELECT qid, vec_id,
-           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           |  row_number() OVER (PARTITION BY qid ORDER BY round(sim, 4) DESC, vec_id) AS rnk
            | FROM scored) t
            |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
       "ann_ivf" ->
@@ -382,7 +390,7 @@ object SparkEntry {
            |           JOIN embeddings q ON q.vec_id = cand.qid)
            |SELECT qid, vec_id AS nid, rnk FROM (
            | SELECT qid, vec_id,
-           |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+           |  row_number() OVER (PARTITION BY qid ORDER BY round(sim, 4) DESC, vec_id) AS rnk
            | FROM scored) t
            |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
       "emb_quantize_stats" ->

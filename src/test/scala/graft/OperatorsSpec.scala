@@ -222,9 +222,10 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val ivfRecall = ivfRecalls.sum / ivfRecalls.size
     info(s"ann_ivf recall@5 = $ivfRecall over ${bf.size} queries")
-    // measured 0.84 with the k-means codebook (was 0.48 with the fixed
-    // sample); floor catches a codebook regression
-    assert(ivfRecall >= 0.6, s"ivf recall too low: $ivfRecall")
+    // measured 0.80 with the k-means++ codebook at sf0.001 (0.48 with
+    // the round-1 fixed sample, 0.84 with round-2 stride init); floor
+    // catches a codebook regression
+    assert(ivfRecall >= 0.7, s"ivf recall too low: $ivfRecall")
   }
 
   // ---- end-to-end corpus pipeline ----
