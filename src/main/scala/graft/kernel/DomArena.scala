@@ -43,29 +43,60 @@ final class DomArena private[kernel] () {
   val parent = new IntBuf(64)
   val firstChild = new IntBuf(64)
   val nextSibling = new IntBuf(64)
-  val text = new ArrayBuffer[String](64)       // null for elements
+  // text-node payload, one of two representations (uniform per build):
+  //  - string-built arena: textStr(i) holds the decoded String
+  //  - byte-built arena:   textOff/textLen slice the UTF-8 `heap`
+  //    (zero String per node — the kernel's byte output path)
+  private[kernel] val textStr = new ArrayBuffer[String](64) // null for elements/slices
+  private[kernel] val textOff = new IntBuf(64)              // -1 for elements/strings
+  private[kernel] val textLen = new IntBuf(64)
+  private[kernel] val heap = new HtmlTokenizer.ByteBuf(4096)
+  /** true iff the last build stored text as heap slices */
+  private[kernel] var heapBacked = false
 
   private val lastChild = new IntBuf(64)
 
   def size: Int = tag.length
   def isText(i: Int): Boolean = tag(i) == "#text"
 
+  /** Decoded text of node i (on-demand decode for byte-built arenas). */
+  def text(i: Int): String =
+    if (textOff(i) >= 0)
+      new String(heap.arr, textOff(i), textLen(i), java.nio.charset.StandardCharsets.UTF_8)
+    else textStr(i)
+
   private[kernel] def reset(): Unit = {
-    tag.clear(); classId.clear(); text.clear()
+    tag.clear(); classId.clear(); textStr.clear()
     parent.clear(); firstChild.clear(); nextSibling.clear(); lastChild.clear()
+    textOff.clear(); textLen.clear()
+    // NOTE: heap is NOT cleared here — tokenizeBytesHeap fills it before
+    // buildFromTokens resets the node arrays; buildIntoBytes clears it
   }
 
   private[kernel] def addNode(t: String, cls: String, p: Int, txt: String): Int = {
     val id = tag.length
     tag += t; classId += cls; parent += p
-    firstChild += -1; nextSibling += -1; lastChild += -1; text += txt
+    firstChild += -1; nextSibling += -1; lastChild += -1
+    textStr += txt; textOff += -1; textLen += 0
+    link(p, id)
+    id
+  }
+
+  private[kernel] def addTextSlice(p: Int, off: Int, len: Int): Int = {
+    val id = tag.length
+    tag += "#text"; classId += ""; parent += p
+    firstChild += -1; nextSibling += -1; lastChild += -1
+    textStr += null; textOff += off; textLen += len
+    link(p, id)
+    id
+  }
+
+  private def link(p: Int, id: Int): Unit =
     if (p >= 0) {
       if (firstChild(p) < 0) firstChild(p) = id
       else nextSibling(lastChild(p)) = id
       lastChild(p) = id
     }
-    id
-  }
 }
 
 object DomArena {
@@ -91,14 +122,26 @@ object DomArena {
   def buildInto(arena: DomArena, html: String): DomArena =
     buildFromTokens(arena, HtmlTokenizer.tokenize(html))
 
-  /** Byte-path variant: tokenize raw UTF-8 without a full-doc decode. */
+  /** Byte-path variant: tokenize raw UTF-8 without a full-doc decode.
+    * Valid UTF-8 builds a HEAP-BACKED arena (text nodes are byte slices;
+    * MainContent's byte output path then never materializes per-node
+    * Strings); invalid input falls back to the string path for exact
+    * equivalence.
+    */
   def buildIntoBytes(arena: DomArena, bytes: Array[Byte]): DomArena =
-    buildFromTokens(arena, HtmlTokenizer.tokenizeBytes(bytes))
+    if (HtmlTokenizer.isValidUtf8(bytes)) {
+      arena.heap.clear()
+      val toks = HtmlTokenizer.tokenizeBytesHeap(bytes, arena.heap)
+      val built = buildFromTokens(arena, toks)
+      built.heapBacked = true
+      built
+    } else buildInto(arena, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
 
   def buildFromTokens(
       arena: DomArena,
       toks: scala.collection.mutable.ArrayBuffer[HtmlTokenizer.Tok]): DomArena = {
     arena.reset()
+    arena.heapBacked = false
     val root = arena.addNode("#root", "", -1, null)
     var cur = root
     val open = new IntBuf(16) // stack of open element node ids
@@ -109,6 +152,8 @@ object DomArena {
       toks(ti) match {
         case HtmlTokenizer.Text(s) =>
           arena.addNode("#text", "", cur, s)
+        case HtmlTokenizer.TextSlice(off, len) =>
+          arena.addTextSlice(cur, off, len)
         case HtmlTokenizer.StartTag(name, cls, self) =>
           impliedClose.get(name).foreach { closers =>
             // close the innermost open element of the same group, if any,

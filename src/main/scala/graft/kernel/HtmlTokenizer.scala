@@ -22,6 +22,12 @@ object HtmlTokenizer {
   final case class EndTag(name: String) extends Tok
   /** Decoded text (entities resolved). */
   final case class Text(s: String) extends Tok
+  /** Text as UTF-8 bytes [off, off+len) in the heap passed to
+    * `tokenizeBytesHeap` — entities already decoded INTO the heap. The
+    * zero-String-per-node form the kernel's byte output path consumes;
+    * decoding the slice yields exactly the corresponding `Text` token.
+    */
+  final case class TextSlice(off: Int, len: Int) extends Tok
 
   private val rawTextTags = Set("script", "style", "textarea", "title", "noscript")
 
@@ -311,8 +317,8 @@ object HtmlTokenizer {
     true
   }
 
-  /** growable byte accumulator for text runs */
-  private final class ByteBuf(initial: Int) {
+  /** growable byte accumulator for text runs / document text heaps */
+  private[kernel] final class ByteBuf(initial: Int) {
     var arr = new Array[Byte](initial)
     var len = 0
     def append(b: Array[Byte], from: Int, n: Int): Unit = {
@@ -330,20 +336,38 @@ object HtmlTokenizer {
   }
 
   def tokenizeBytes(b: Array[Byte]): ArrayBuffer[Tok] =
-    if (isValidUtf8(b)) tokenizeBytesValid(b)
-    else tokenize(new String(b, UTF8)) // exact-equivalence fallback
+    if (isValidUtf8(b)) {
+      // public token API: slices decode to the same Text tokens the
+      // string path emits (the kernel path consumes the slices directly)
+      val heap = new ByteBuf(256)
+      val toks = tokenizeBytesHeap(b, heap)
+      var ti = 0
+      while (ti < toks.length) {
+        toks(ti) match {
+          case TextSlice(o, l) => toks(ti) = Text(new String(heap.arr, o, l, UTF8))
+          case _ => ()
+        }
+        ti += 1
+      }
+      toks
+    } else tokenize(new String(b, UTF8)) // exact-equivalence fallback
 
-  private def tokenizeBytesValid(b: Array[Byte]): ArrayBuffer[Tok] = {
+  /** Byte tokenizer emitting TextSlice tokens into `heap` — the
+    * zero-String-per-text-node form. REQUIRES pre-validated UTF-8
+    * (`isValidUtf8`); callers handle the fallback.
+    */
+  private[kernel] def tokenizeBytesHeap(b: Array[Byte], heap: ByteBuf): ArrayBuffer[Tok] = {
     val out = new ArrayBuffer[Tok](64)
     val n = b.length
     var i = 0
-    val text = new ByteBuf(256)
+    val text = heap
+    var textStart = heap.len
 
     def at(k: Int): Int = if (k < n) b(k) & 0xff else -1
     def flushText(): Unit = {
-      if (text.len > 0) {
-        out += Text(new String(text.arr, 0, text.len, UTF8))
-        text.clear()
+      if (text.len > textStart) {
+        out += TextSlice(textStart, text.len - textStart)
+        textStart = text.len
       }
     }
     def isNameStart(c: Int): Boolean =
@@ -555,7 +579,10 @@ object HtmlTokenizer {
           if (!self && rawTextTags.contains(name)) {
             val k = ciIndexOfSeq("</" + name, i)
             val end = if (k < 0) n else k
-            if (end > i) out += Text(new String(b, i, end - i, UTF8))
+            if (end > i) { // raw, no entity decode — straight into the heap
+              text.append(b, i, end - i)
+              flushText()
+            }
             if (k < 0) i = n
             else {
               val gt = indexOfByte('>', k)

@@ -111,9 +111,21 @@ object MainContent {
   def extractBytes(bytes: Array[Byte], reuse: DomArena): Result =
     finish(DomArena.buildIntoBytes(reuse, bytes))
 
+  def extractBytes(bytes: Array[Byte]): Result = extractBytes(bytes, new DomArena())
+
   private def finish(arena: DomArena): Result = {
+    val flags = computeFlags(arena)
+    if (arena.heapBacked) finishBytes(arena, flags) else finishChars(arena, flags)
+  }
+
+  private final class Flags(val pruned: Array[Boolean], val inLink: Array[Boolean],
+      val nearestBlock: Array[Int])
+
+  /** Inherited per-node flags; node order == document (pre)order. Shared
+    * by the char and byte output paths (representation-independent).
+    */
+  private def computeFlags(arena: DomArena): Flags = {
     val n = arena.size
-    // inherited per-node flags; node order == document (pre)order
     val pruned = new Array[Boolean](n)
     val inLink = new Array[Boolean](n)
     val nearestBlock = new Array[Int](n)
@@ -129,6 +141,14 @@ object MainContent {
       }
       i += 1
     }
+    new Flags(pruned, inLink, nearestBlock)
+  }
+
+  private def finishChars(arena: DomArena, flags: Flags): Result = {
+    val n = arena.size
+    val pruned = flags.pruned
+    val inLink = flags.inLink
+    val nearestBlock = flags.nearestBlock
 
     // Segment text nodes by nearest block ancestor (document order), then
     // stream selected segments straight into the output builder — the
@@ -139,7 +159,7 @@ object MainContent {
     // of a segment never emits.
     val outText = new java.lang.StringBuilder(256)
     val spans = new ArrayBuffer[Span](16)
-    i = 0
+    var i = 0
     while (i < n) {
       if (arena.isText(i) && !pruned(i)) {
         val blk = nearestBlock(i)
@@ -197,5 +217,150 @@ object MainContent {
       } else i += 1
     }
     Result(outText.toString, spans.toSeq)
+  }
+
+  // ====================================================================
+  // Byte-level output path — for heap-backed arenas (valid-UTF-8 input):
+  // text nodes are UTF-8 slices, the output is assembled as UTF-8 bytes,
+  // and the document's kept text is decoded to a String exactly ONCE at
+  // the end. Per 43 KB Common-Crawl-sized page this removes every
+  // per-text-node String allocation and the two UTF-16 copies of the
+  // (mostly discarded) chrome text. Spans are UTF-16 offsets, tracked
+  // incrementally while appending (cp > 0xFFFF counts 2 units) — byte/
+  // char path equality is scalacheck- and fuzz-asserted.
+  // ====================================================================
+
+  /** code point at arr(i) — input pre-validated UTF-8, lead byte >= 0x80 */
+  private def cpAt(arr: Array[Byte], i: Int): Int = {
+    val c = arr(i) & 0xff
+    if (c < 0xe0) ((c & 0x1f) << 6) | (arr(i + 1) & 0x3f)
+    else if (c < 0xf0)
+      ((c & 0x0f) << 12) | ((arr(i + 1) & 0x3f) << 6) | (arr(i + 2) & 0x3f)
+    else
+      ((c & 0x07) << 18) | ((arr(i + 1) & 0x3f) << 12) |
+        ((arr(i + 2) & 0x3f) << 6) | (arr(i + 3) & 0x3f)
+  }
+  private def seqLen(lead: Int): Int =
+    if (lead < 0x80) 1 else if (lead < 0xe0) 2 else if (lead < 0xf0) 3 else 4
+
+  private def isWsAscii(c: Int): Boolean =
+    c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f)
+
+  /** `normLen` over a UTF-8 slice: normalized length in UTF-16 units —
+    * exact byte mirror of the char version (Character.isWhitespace on
+    * decoded code points, U+00A0 counted as whitespace).
+    */
+  private def normLen16(arr: Array[Byte], off: Int, len: Int): Int = {
+    var i = off
+    val end = off + len
+    var out = 0
+    var pendingSpace = false
+    while (i < end) {
+      val c = arr(i) & 0xff
+      if (c < 0x80) {
+        if (isWsAscii(c)) pendingSpace = true
+        else {
+          if (pendingSpace && out > 0) out += 1
+          pendingSpace = false
+          out += 1
+        }
+        i += 1
+      } else {
+        val cp = cpAt(arr, i)
+        if (Character.isWhitespace(cp) || cp == 0xa0) pendingSpace = true
+        else {
+          if (pendingSpace && out > 0) out += 1
+          pendingSpace = false
+          out += (if (cp > 0xffff) 2 else 1)
+        }
+        i += seqLen(c)
+      }
+    }
+    out
+  }
+
+  private def finishBytes(arena: DomArena, flags: Flags): Result = {
+    val n = arena.size
+    val pruned = flags.pruned
+    val inLink = flags.inLink
+    val nearestBlock = flags.nearestBlock
+    val heap = arena.heap.arr
+
+    val out = new HtmlTokenizer.ByteBuf(512)
+    var out16 = 0 // UTF-16 length of out's content (span offsets)
+    val spans = new ArrayBuffer[Span](16)
+    var i = 0
+    while (i < n) {
+      if (arena.isText(i) && !pruned(i)) {
+        val blk = nearestBlock(i)
+        var end = i
+        var totalChars = 0
+        var linkChars = 0
+        var j = i
+        var done = false
+        while (j < n && !done) {
+          if (arena.isText(j) && !pruned(j)) {
+            if (nearestBlock(j) != blk) done = true
+            else {
+              val nl = normLen16(heap, arena.textOff(j), arena.textLen(j))
+              if (nl > 0) {
+                totalChars += nl
+                if (inLink(j)) linkChars += nl
+              }
+              end = j + 1
+            }
+          }
+          if (!done) j += 1
+        }
+        if (totalChars > 0) {
+          val kind = arena.tag(blk)
+          val heading = headingTags.contains(kind)
+          val density = linkChars.toDouble / totalChars
+          if (heading || density <= MaxLinkDensity) {
+            if (out16 > 0) {
+              out.appendByte('\n'); out.appendByte('\n'); out16 += 2
+            }
+            val start16 = out16
+            var pendingSpace = false
+            var k = i
+            while (k < end) {
+              if (arena.isText(k) && !pruned(k)) {
+                var ci = arena.textOff(k)
+                val cEnd = ci + arena.textLen(k)
+                while (ci < cEnd) {
+                  val c = heap(ci) & 0xff
+                  if (c < 0x80) {
+                    if (isWsAscii(c)) pendingSpace = true
+                    else {
+                      if (pendingSpace && out16 > start16) { out.appendByte(' '); out16 += 1 }
+                      pendingSpace = false
+                      out.appendByte(heap(ci))
+                      out16 += 1
+                    }
+                    ci += 1
+                  } else {
+                    val cp = cpAt(heap, ci)
+                    val sl = seqLen(c)
+                    if (Character.isWhitespace(cp) || cp == 0xa0) pendingSpace = true
+                    else {
+                      if (pendingSpace && out16 > start16) { out.appendByte(' '); out16 += 1 }
+                      pendingSpace = false
+                      out.append(heap, ci, sl)
+                      out16 += (if (cp > 0xffff) 2 else 1)
+                    }
+                    ci += sl
+                  }
+                }
+              }
+              k += 1
+            }
+            spans += Span(start16.toLong, out16.toLong, kind)
+          }
+        }
+        i = end
+      } else i += 1
+    }
+    Result(new String(out.arr, 0, out.len,
+      java.nio.charset.StandardCharsets.UTF_8), spans.toSeq)
   }
 }

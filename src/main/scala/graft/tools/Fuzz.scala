@@ -47,11 +47,17 @@ object Fuzz {
         sys.exit(1)
       }
       tokenizerChecked += 1
-      // 2. extraction totality + span reassembly
+      // 2. extraction totality + span reassembly + BYTE/CHAR OUTPUT PARITY
+      // (the byte-level output path must equal the char path exactly)
       val res = MainContent.extract(s)
       res.spans.foreach { sp =>
         val ok = sp.start >= 0 && sp.end <= res.text.length && sp.start <= sp.end
         if (!ok) { System.err.println(s"BAD SPAN at case $i: $sp"); sys.exit(1) }
+      }
+      val resB = MainContent.extractBytes(b)
+      if (res.text != resB.text || res.spans != resB.spans) {
+        System.err.println(s"EXTRACT BYTE/CHAR DIVERGENCE at case $i: ${b.mkString(",")}")
+        sys.exit(1)
       }
       spanChecked += res.spans.length
       // 3. pdf content scanner totality

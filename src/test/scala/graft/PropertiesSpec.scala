@@ -83,6 +83,23 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("main content: byte output path ≡ char path (text AND spans) on any input") {
+    // the byte-level output path (heap-backed arena → UTF-8 assembly →
+    // single decode) must agree with the char path exactly — including
+    // UTF-16 span offsets across astral code points and Unicode whitespace
+    check(Prop.forAll(htmlish) { s =>
+      val viaChars = MainContent.extract(s) // string-built arena → char path
+      val viaBytes = MainContent.extractBytes(s.getBytes("UTF-8"))
+      viaChars.text == viaBytes.text && viaChars.spans == viaBytes.spans
+    })
+    val rawBytes = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    check(Prop.forAll(rawBytes) { b =>
+      val viaChars = MainContent.extract(new String(b, "UTF-8"))
+      val viaBytes = MainContent.extractBytes(b)
+      viaChars.text == viaBytes.text && viaChars.spans == viaBytes.spans
+    })
+  }
+
   test("main content: spans within bounds, non-overlapping, ordered; text reassembles from slices") {
     check(Prop.forAll(htmlish) { s =>
       val r = MainContent.extract(s)
