@@ -46,17 +46,18 @@ object ExtractKernel {
   val Completed = "completed"
   val Failed = "failed"
 
-  /** sniffed magic → the extension label used in the A1 error string */
+  /** sniffed magic → the extension label used in the A1 error string.
+    * Raster magics delegate to ImageHeader.formatOf — ONE magic table,
+    * so the dispatcher and the multimodal sniffer can't drift apart.
+    */
   def sniffExtLabel(b: Array[Byte]): String = {
     def is(prefix: Int*): Boolean =
       b.length >= prefix.length && prefix.zipWithIndex.forall { case (v, i) => (b(i) & 0xff) == v }
     if (is('P', 'K', 3, 4)) ".zip"
-    else if (is(0x89, 'P', 'N', 'G')) ".png"
-    else if (is(0xFF, 0xD8, 0xFF)) ".jpg"
-    else if (is('G', 'I', 'F', '8')) ".gif"
-    else if (is('I', 'I', '*', 0) || is('M', 'M', 0, '*')) ".tiff"
-    else if (is('B', 'M')) ".bmp"
-    else ".bin"
+    else ImageHeader.formatOf(b).map("." + _).getOrElse {
+      // 'BM' shorter than formatOf's 26-byte floor still labels as bmp
+      if (is('B', 'M')) ".bmp" else ".bin"
+    }
   }
 
   private def isPdf(b: Array[Byte]): Boolean =

@@ -81,6 +81,13 @@ object ImageHeader {
 
   // ---- per-format ----
 
+  /** dims beyond Int range CLAMP rather than fail: an absurdly huge
+    * claimed dimension must still reach the resolution-cap validation
+    * (returning None there would route the clearest cap violation to the
+    * generic unsupported-type error instead)
+    */
+  private def clampDim(v: Long): Int = math.min(v, Int.MaxValue.toLong).toInt
+
   /** PNG (spec: 8-byte signature, then the IHDR chunk MUST be first):
     * width = BE u32 at 16, height at 20.
     */
@@ -88,10 +95,7 @@ object ImageHeader {
     if (b.length < 24) return None
     // chunk 1 must be IHDR (length 13)
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
-    val w = be32(b, 16)
-    val h = be32(b, 20)
-    if (w > Int.MaxValue || h > Int.MaxValue) None
-    else Some(Dims("png", w.toInt, h.toInt))
+    Some(Dims("png", clampDim(be32(b, 16)), clampDim(be32(b, 20))))
   }
 
   /** JPEG: walk the marker segments until a start-of-frame (SOFn) marker;
@@ -161,15 +165,20 @@ object ImageHeader {
       }
       e += 1
     }
-    if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
-      Some(Dims("tiff", w.toInt, h.toInt))
+    if (w > 0 && h > 0) Some(Dims("tiff", clampDim(w), clampDim(h)))
     else None
   }
 
-  /** BMP: BITMAPINFOHEADER — width LE s32 at 18, height LE s32 at 22
-    * (negative height = top-down rows; magnitude is the dimension).
+  /** BMP: 'BM' alone is a weak magic (any text starting "BM…" matches),
+    * so dimensions are only trusted when the DIB header-size field at
+    * offset 14 is a known BITMAPINFOHEADER-family size — width LE s32 at
+    * 18, height LE s32 at 22 (negative height = top-down rows; magnitude
+    * is the dimension). Unknown DIB size → None (the dispatcher then
+    * reports unsupported-type, never a garbage resolution).
     */
+  private val DibSizes = Set(40L, 52L, 56L, 64L, 108L, 124L)
   private def bmp(b: Array[Byte]): Option[Dims] = {
+    if (!DibSizes.contains(le32(b, 14))) return None
     val w = le32(b, 18).toInt
     val h = math.abs(le32(b, 22).toInt)
     Some(Dims("bmp", w, h))

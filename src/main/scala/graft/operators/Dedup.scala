@@ -40,48 +40,45 @@ object Dedup {
     * (degenerate content), the drop must be observable, not silent. One
     * counter per sketch family, refreshed per run on the driver.
     *
-    * LAZY by design: the operator run only installs a thunk over its
-    * already-checkpointed ≥2-doc bucket frame; the (tiny) count job runs
-    * on FIRST ACCESS, outside the operator's timed chain — benchmarks of
-    * the sketch path no longer pay an extra Spark job per invocation.
-    * The warn line for a non-zero drop is emitted when the count is
-    * forced. Forcing requires the run's SparkSession to still be alive.
+    * Values come from `Dataset.observe` metrics that PIGGYBACK on the
+    * run's own checkpoint job — no extra Spark job in (or after) the
+    * sketch path, the count is eager, and the warn line fires
+    * unconditionally per run.
     *
     * Scope: LAST-RUN observability on this driver JVM — concurrent LSH
-    * runs interleave their installs (last wins). Anything needing per-run
+    * runs interleave their writes (last wins). Anything needing per-run
     * audit data at scale should persist the counts next to its own
     * lineage.
     */
   final class DropCounter(val name: String) {
-    private var thunk: () => (Long, Long) = () => (-1L, -1L)
-    private var memo: Option[(Long, Long)] = Some((-1L, -1L))
-    private def force(): (Long, Long) = synchronized {
-      memo.getOrElse {
-        val v = thunk()
-        memo = Some(v)
-        if (v._1 > 0)
-          log.warn(s"[$name] bucket cap dropped ${v._1} buckets covering " +
-            s"${v._2} doc slots")
-        v
-      }
+    private val buckets = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private val docSlots = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def set(b: Long, d: Long): Unit = {
+      buckets.set(b); docSlots.set(d)
+      if (b > 0)
+        log.warn(s"[$name] bucket cap dropped $b buckets covering $d doc slots")
     }
-    /** Install this run's count thunk; invalidates the previous memo. */
-    def setFrom(f: () => (Long, Long)): Unit = synchronized { thunk = f; memo = None }
     /** buckets dropped in the most recent run; -1 = no run yet */
-    def droppedBuckets: Long = force()._1
+    def droppedBuckets: Long = buckets.get
     /** doc slots inside dropped buckets in the most recent run */
-    def droppedDocSlots: Long = force()._2
+    def droppedDocSlots: Long = docSlots.get
   }
   val MinhashDrops = new DropCounter("dedup_minhash_lsh")
   val SimhashDrops = new DropCounter("dedup_simhash")
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Thunk counting over-cap buckets in a checkpointed (…, ids) frame. */
-  private def dropThunk(grouped: DataFrame, maxBucket: Int): () => (Long, Long) = () => {
-    val row = grouped.filter(size(col("ids")) > maxBucket)
-      .agg(count(lit(1)), coalesce(sum(size(col("ids")).cast("long")), lit(0L))).collect()(0)
-    (row.getLong(0), row.getLong(1))
+  /** Over-cap-drop metrics as observe() expressions — computed inside the
+    * frame's own (checkpoint) job, never as a separate action.
+    */
+  private def dropMetrics(maxBucket: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    coalesce(count(when(size(col("ids")) > maxBucket, 1)), lit(0L)).as("dropped_buckets"),
+    coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))), lit(0L))
+      .as("dropped_slots"))
+
+  private def recordDropsFrom(c: DropCounter, obs: org.apache.spark.sql.Observation): Unit = {
+    val m = obs.get // already computed — the checkpoint was the action
+    c.set(m("dropped_buckets").asInstanceOf[Long], m("dropped_slots").asInstanceOf[Long])
   }
 
   /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated). */
@@ -251,19 +248,11 @@ object Dedup {
     */
   /** Most recent LSH candidate-set size (observability at scale:
     * candidate growth is THE health metric of a banding config — too low
-    * = recall loss, too high = verify-join blowup). Lazy like
-    * [[DropCounter]]: the run installs a thunk over the checkpointed
-    * candidate frame; `.get` forces (and memoizes) the count outside the
-    * operator's timed chain.
+    * = recall loss, too high = verify-join blowup). Fed by an observe()
+    * metric riding the candidate frame's checkpoint job — eager, zero
+    * extra jobs.
     */
-  object MinhashCandidates {
-    private var thunk: () => Long = () => -1L
-    private var memo: Option[Long] = Some(-1L)
-    def set(f: () => Long): Unit = synchronized { thunk = f; memo = None }
-    def get: Long = synchronized {
-      memo.getOrElse { val v = thunk(); memo = Some(v); v }
-    }
-  }
+  val MinhashCandidates = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   def dedupMinhashLsh(s: SparkSession, dir: String, maxBucket: Int = 64): DataFrame =
     minhashLshPairsFrom(s, corpus(s, dir), maxBucket)
@@ -301,22 +290,26 @@ object Dedup {
     // holding >1 doc are a vanishing fraction of all buckets → checkpoint
     // that small set once, then derive both the drop counter and the
     // candidate pairs from it without recomputing signatures.
+    val dropObs = org.apache.spark.sql.Observation()
     val grouped = bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
       .localCheckpoint()
-    MinhashDrops.setFrom(dropThunk(grouped, maxBucket))
+    recordDropsFrom(MinhashDrops, dropObs) // metrics rode the checkpoint job
     val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
+    val candObs = org.apache.spark.sql.Observation()
     val cand = byBucket
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+      .observe(candObs, count(lit(1)).as("n_candidates"))
       // the candidate set is consumed three times below (doc gate + both
       // sides of the verify join) — materialize it once, it's tiny
       .localCheckpoint()
-    MinhashCandidates.set(() => cand.count()) // forced lazily, post-run
+    MinhashCandidates.set(candObs.get("n_candidates").asInstanceOf[Long])
     // exact verify on candidates only: shingles exploded JUST for docs
     // appearing in some candidate pair (broadcast semi-join gate)
     val candDocs = cand.select(col("id_a").as("doc_id"))
@@ -476,11 +469,13 @@ object Dedup {
         explode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
           "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))
       .select(col("doc_id"), col("sig"), col("p.chunk"), col("p.v"))
+    val dropObs = org.apache.spark.sql.Observation()
     val grouped = chunks.groupBy(col("chunk"), col("v"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
       .localCheckpoint()
-    SimhashDrops.setFrom(dropThunk(grouped, maxBucket))
+    recordDropsFrom(SimhashDrops, dropObs)
     val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     byBucket
       .select(explode(expr(

@@ -130,7 +130,11 @@ object ExtractRunner {
       .as[Int].collect().toSeq.sorted
     // no remaining work → don't spin up the kernel/write at all (mirrors
     // runBucketed's no-op resume); the run still gets its ledger row —
-    // "one row per run" includes no-op resumes
+    // "one row per run" includes no-op resumes. A FIRST run over an
+    // empty pages table therefore creates no extracted/ dir (nothing to
+    // describe — a partitioned write of zero rows emits no schema to
+    // read back anyway); status lookups against a never-written table
+    // surface path-not-found, which is the honest answer.
     if (todoBuckets.isEmpty) {
       val wallMs = System.currentTimeMillis() - t0
       appendSnapshotRow(spark, outRoot, snapshotId, 0L, 0L, wallMs, profile.engine)
@@ -172,7 +176,7 @@ object ExtractRunner {
         // driver thread — clear it, or the mark-write job below is
         // immediately killed and the cancel is indistinguishable from a
         // crash (the exact failure mode A10 exists to prevent)
-        Thread.interrupted()
+        val wasInterrupted = Thread.interrupted()
         // mark-write failures must not mask the graceful-cancel report:
         // resume correctness never depends on the marks (only 'completed'
         // rows skip buckets), so log and carry on
@@ -185,6 +189,9 @@ object ExtractRunner {
             log.warn(s"cancelled-mark write failed for snapshot=$snapshotId " +
               s"(resume unaffected; cancel-vs-crash distinction lost for this run)", me)
         }
+        // the interrupt belongs to the CALLER (their cancellation signal)
+        // — restore it so the enclosing executor/Future still sees it
+        if (wasInterrupted) Thread.currentThread().interrupt()
         return RunReport(snapshotId, 0L, 0L,
           System.currentTimeMillis() - t0, cancelled = true)
     } finally spark.sparkContext.clearJobGroup()

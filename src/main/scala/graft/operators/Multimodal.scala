@@ -38,11 +38,13 @@ object Multimodal {
     if (b == null || b.isEmpty) "empty"
     else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
     else if (b.length >= 4 && b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) "zip"
-    else graft.kernel.ImageHeader.formatOf(b).getOrElse {
-      if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
-        .toLowerCase(java.util.Locale.ROOT).contains("<!doctype")) "html"
-      else "bin"
-    }
+    // html BEFORE the raster magics — same precedence as the kernel's
+    // dispatch (isPdf → looksHtml → image), so triage and extraction
+    // never disagree about a payload that matches a weak image magic but
+    // carries html markers (real raster headers never sniff html)
+    else if (b(0) == '<' || new String(b, 0, math.min(b.length, 64), "ISO-8859-1")
+      .toLowerCase(java.util.Locale.ROOT).contains("<!doctype")) "html"
+    else graft.kernel.ImageHeader.formatOf(b).getOrElse("bin")
   }
 
   /** Shannon entropy of the byte histogram, in millibits (integer → exact

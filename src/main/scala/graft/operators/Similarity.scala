@@ -44,7 +44,10 @@ object Similarity {
     // ranking on round(sim, 4) makes a cross-engine rank swap require a
     // genuine 1e-15-scale tie sitting exactly on a 1e-4 grid line
     // (~1e-11 per pair) instead of any near-tie; vec_id breaks grid ties
-    // identically on both engines
+    // identically on both engines. Deliberate product tradeoff: neighbors
+    // whose TRUE sims differ by < 1e-4 order by vec_id, not similarity —
+    // far below embedding noise, and the ranking becomes a deterministic
+    // total order any engine reproduces.
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("sim"), 4).desc, col("vec_id"))
     e.crossJoin(broadcast(q))
@@ -164,9 +167,17 @@ object Similarity {
     val conf = s.sparkContext.hadoopConfiguration
     val fp = files.foldLeft(17L) { (acc, f) =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      ((acc * 31L + f.hashCode.toLong) * 31L + st.getLen) * 31L + st.getModificationTime
+      // a file deleted between listing and stat (concurrent rewrite)
+      // must not fail the query — fold a sentinel; the changed listing
+      // itself already changes the fingerprint on the next call
+      val (len, mtime) =
+        try { val st = p.getFileSystem(conf).getFileStatus(p); (st.getLen, st.getModificationTime) }
+        catch { case _: java.io.IOException => (-1L, -1L) }
+      ((acc * 31L + f.hashCode.toLong) * 31L + len) * 31L + mtime
     }
+    // bound the memo: repeated in-place regenerations of the same dir
+    // would otherwise accumulate codebooks for the JVM lifetime
+    if (centroidCache.size > 16) centroidCache.clear()
     centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
   }
 
