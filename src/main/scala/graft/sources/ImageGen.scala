@@ -54,6 +54,22 @@ object ImageGen {
     b
   }
 
+  /** BMP: 14-byte file header + BITMAPINFOHEADER (DIB size 40). Negative
+    * height encodes top-down row order; the parser reports the magnitude.
+    */
+  def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = new Array[Byte](54)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, 54)  // file size (header-only fixture)
+    putLe32(b, 10, 54) // pixel-data offset
+    putLe32(b, 14, 40) // DIB header size = BITMAPINFOHEADER
+    putLe32(b, 18, w)
+    putLe32(b, 22, h)
+    putLe16(b, 26, 1)  // planes
+    putLe16(b, 28, 24) // bpp
+    b
+  }
+
   private def putEntry(b: Array[Byte], off: Int, tag: Int, v: Int): Unit = {
     putLe16(b, off, tag)
     putLe16(b, off + 2, 3) // SHORT

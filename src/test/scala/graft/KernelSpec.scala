@@ -192,6 +192,19 @@ class KernelSpec extends AnyFunSuite {
     val broken = graft.sources.ImageGen.png(640, 480).take(14)
     val bad = ExtractKernel.extractOne(mkPage(broken), 0)
     assert(bad.status == "failed" && bad.error == "不支持的文件类型: .png")
+    // a claimed dimension beyond Int range CLAMPS so the clearest cap
+    // violation still hits the resolution literal, not unsupported-type
+    val absurd = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.png(-1, 100)), 0)
+    assert(absurd.status == "failed" &&
+      absurd.error == s"图片分辨率超过限制: ${Int.MaxValue}x100")
+    // real BMP within cap: unsupported with the sniffed label; 'BM' TEXT
+    // (weak magic, no valid DIB header) keeps the label but NEVER a
+    // garbage resolution error
+    val realBmp = ExtractKernel.extractOne(mkPage(graft.sources.ImageGen.bmp(320, 200)), 0)
+    assert(realBmp.status == "failed" && realBmp.error == "不支持的文件类型: .bmp")
+    val bmText = ExtractKernel.extractOne(
+      mkPage("BM revenue was flat quarter over quarter".getBytes), 0)
+    assert(bmText.status == "failed" && bmText.error == "不支持的文件类型: .bmp")
   }
 
   // ---- engine profiles (A5-A7: llm defensive literals, ollama serializers) ----

@@ -342,6 +342,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.decodeDims("not an image".getBytes) == ((0, 0, false)))
     // truncated header must not throw
     assert(Multimodal.decodeDims(graft.sources.ImageGen.png(640, 480).take(12)) == ((0, 0, false)))
+    // BMP: real BITMAPINFOHEADER parses; top-down (negative height) reports
+    // the magnitude; 'BM' TEXT (weak magic, unknown DIB size) yields no dims
+    assert(Multimodal.sniffType(graft.sources.ImageGen.bmp(320, 200)) == "bmp")
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.bmp(320, 200)) == ((320, 200, true)))
+    assert(Multimodal.decodeDims(graft.sources.ImageGen.bmp(320, -200)) == ((320, 200, true)))
+    assert(Multimodal.decodeDims("BM revenue was flat quarter over quarter".getBytes)
+      == ((0, 0, false)))
+    // html markers take precedence over a coincidental raster magic — same
+    // ordering as the kernel dispatch (a real raster header never sniffs html)
+    assert(Multimodal.sniffType("BM <!doctype html> quarterly report".getBytes) == "html")
     import spark.implicits._
     val triage = Multimodal.mediaTriage(spark, sf0001)
       .select(col("media_type"), col("n_docs")).as[(String, Long)].collect().toMap
