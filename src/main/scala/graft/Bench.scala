@@ -101,20 +101,39 @@ object Bench {
     def bestOf(f: => Long): Double =
       (1 to reps).map(_ => timed(f)._2).min
 
-    // ---- scaling passes: same job at N and 4N cores ----
-    // the scaling pair gets extra reps: host-load noise during either
-    // phase directly distorts the efficiency ratio, and best-of-N only
-    // defends against spikes shorter than a run
+    // ---- scaling passes: same job at N and 4N cores, INTERLEAVED ----
+    // Ambient host load drifts on minute scales (other tenants); running
+    // all N reps then all 4N reps lets a drift between the two windows
+    // masquerade as a scaling property. Alternating the levels exposes
+    // both to the same drift, and the efficiency is the MEDIAN over
+    // paired (temporally adjacent) reps — a noise burst during either
+    // run of a pair skews at most that pair's ratio, not the headline.
+    // Per-level rates are still best-of (min time), matching the
+    // headline-pass methodology.
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
-    def rateAt(cpus: Int): Double = {
+    def timeAt(cpus: Int, warm: Boolean): Double = {
       val s = session(cpus)
-      extractRun(s) // warmup (JIT) — untimed
-      val t = (1 to scaleReps).map(_ => timed(extractRun(s))._2).min
+      if (warm) extractRun(s) // JIT warmup, untimed (first visit per level)
+      val t = timed(extractRun(s))._2
       s.stop()
-      nDocs / t
+      t
     }
-    val loRate = if (doScaling) rateAt(lo) else 0.0
-    val midRate = if (doScaling && mid != lo) rateAt(mid) else loRate
+    var tLoBest = Double.PositiveInfinity
+    var tMidBest = Double.PositiveInfinity
+    val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (doScaling) {
+      var k = 0
+      while (k < scaleReps) {
+        val tLo = timeAt(lo, warm = k == 0)
+        val tMid = if (mid != lo) timeAt(mid, warm = k == 0) else tLo
+        tLoBest = math.min(tLoBest, tLo)
+        tMidBest = math.min(tMidBest, tMid)
+        if (mid != lo) pairEffs += (tLo / tMid) / (mid.toDouble / lo)
+        k += 1
+      }
+    }
+    val loRate = if (doScaling) nDocs / tLoBest else 0.0
+    val midRate = if (doScaling && mid != lo) nDocs / tMidBest else loRate
 
     // ---- headline pass at full parallelism ----
     val sHi = session(hi)
@@ -220,9 +239,9 @@ object Bench {
     }
     rmrf(new java.io.File(base))
 
-    // efficiency over the N→4N pair (lo → mid); hi is the headline rate
-    val eff = if (doScaling && loRate > 0 && mid != lo)
-      (midRate / loRate) / (mid.toDouble / lo)
+    // efficiency over the N→4N pair (lo → mid): median of the paired
+    // per-rep ratios (see the scaling-pass comment); hi is the headline
+    val eff = if (pairEffs.nonEmpty) pairEffs.sorted.apply(pairEffs.length / 2)
     else -1.0
     val qs = (Seq("extract" -> tHi) ++ queryTimes)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
