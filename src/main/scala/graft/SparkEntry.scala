@@ -172,6 +172,15 @@ object SparkEntry {
             sum(col("n_chars").cast("long")).as("total_chars"))
           .orderBy(col("profile"))
       }),
+      // ---- paragraph-level dedup (CCNet/RefinedWeb boilerplate scrub) ----
+      // both recomputed from the materialized extracted table on BOTH
+      // engines — DuckDB independently re-splits, re-counts df, and
+      // re-filters with its own list lambda (a genuine cross-engine check
+      // of the scrub semantics, byte-level on clean_text)
+      "para_stats" -> ((s, dir) =>
+        graft.operators.ParagraphDedup.paragraphStats(cachedExtract(s, dir))),
+      "para_scrub" -> ((s, dir) =>
+        graft.operators.ParagraphDedup.paragraphScrubFrom(s, cachedExtract(s, dir))),
       // ---- end-to-end training-corpus pipeline ----
       "pipeline_corpus" -> ((s, dir) => pipelineCorpusMat(s, dir).orderBy(col("url"))),
       "pipeline_funnel" -> ((s, dir) =>
@@ -323,6 +332,30 @@ object SparkEntry {
       "pipeline_corpus" ->
         s"""SELECT url, is_exact_dup, is_near_dup, quality, lang_pred, keep
            |FROM ${rp("pipeline_corpus")} ORDER BY url""".stripMargin,
+      // paragraph dedup: DuckDB re-splits the extracted text, re-derives
+      // doc frequency, and re-runs the scrub with its own list lambda —
+      // clean_text is compared byte-for-byte across engines
+      "para_stats" ->
+        s"""WITH docs AS (SELECT url, text FROM ${rp("extracted")} WHERE status = 'completed'),
+           |paras AS (SELECT url, unnest(string_split(text, chr(10)||chr(10))) AS para FROM docs),
+           |per AS (SELECT para, url, count(*) AS occ FROM paras GROUP BY 1, 2)
+           |SELECT para, CAST(count(*) AS BIGINT) AS df,
+           | CAST(sum(occ) AS BIGINT) AS n_occurrences,
+           | CAST(length(para) AS INT) AS n_chars
+           |FROM per GROUP BY para HAVING count(*) >= 2 ORDER BY df DESC, para""".stripMargin,
+      "para_scrub" ->
+        s"""WITH docs AS (SELECT url, string_split(text, chr(10)||chr(10)) AS sp
+           |  FROM ${rp("extracted")} WHERE status = 'completed'),
+           |pu AS (SELECT DISTINCT url, para FROM (SELECT url, unnest(sp) AS para FROM docs) t),
+           |dfreq AS (SELECT para, count(*) AS df FROM pu GROUP BY para
+           |          HAVING count(*) >= ${graft.operators.ParagraphDedup.MinDf}),
+           |boiler AS (SELECT para FROM dfreq ORDER BY df DESC, para
+           |           LIMIT ${graft.operators.ParagraphDedup.MaxBoilerplate}),
+           |bl AS (SELECT coalesce(list(para), []) AS bl FROM boiler)
+           |SELECT d.url, CAST(len(d.sp) AS INT) AS n_paras,
+           | CAST(len(d.sp) - len(list_filter(d.sp, p -> NOT list_contains(bl.bl, p))) AS INT) AS n_dropped,
+           | array_to_string(list_filter(d.sp, p -> NOT list_contains(bl.bl, p)), chr(10)||chr(10)) AS clean_text
+           |FROM docs d CROSS JOIN bl ORDER BY d.url""".stripMargin,
       // DuckDB replicates the MinHash-LSH banding (bucket cap included)
       // from the materialized band frame and re-verifies candidates with
       // its own exact shingle Jaccard — only the minhash signatures
