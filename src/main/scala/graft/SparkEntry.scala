@@ -181,6 +181,10 @@ object SparkEntry {
         graft.operators.ParagraphDedup.paragraphStats(cachedExtract(s, dir))),
       "para_scrub" -> ((s, dir) =>
         graft.operators.ParagraphDedup.paragraphScrubFrom(s, cachedExtract(s, dir))),
+      // Gopher-style within-document repetition metrics + flag, over the
+      // extracted corpus; DuckDB recomputes lines/2-grams/fractions itself
+      "text_repetition" -> ((s, dir) =>
+        TextAnalysis.textRepetition(cachedExtract(s, dir))),
       // ---- end-to-end training-corpus pipeline ----
       "pipeline_corpus" -> ((s, dir) => pipelineCorpusMat(s, dir).orderBy(col("url"))),
       "pipeline_funnel" -> ((s, dir) =>
@@ -230,7 +234,12 @@ object SparkEntry {
         materialize(s, s"${oracleBase(dir)}/langid_pairs")(TextAnalysis.langidPairs(s, dir)))),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(
         materialize(s, s"${oracleBase(dir)}/fingerprints")(TextAnalysis.fingerprintPairs(s, dir)))),
-      "corpus_split" -> ((s, dir) => TextAnalysis.corpusSplit(s, dir))
+      "corpus_split" -> ((s, dir) => TextAnalysis.corpusSplit(s, dir)),
+      // PII detect/redact and token-window chunking: narrow codegen'd
+      // stages over the documents table (PII corpus derived identically
+      // on both engines — the Dedup.corpus pattern)
+      "text_pii" -> ((s, dir) => TextAnalysis.textPii(s, dir)),
+      "text_chunks" -> ((s, dir) => TextAnalysis.textChunks(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -356,6 +365,7 @@ object SparkEntry {
            | CAST(len(d.sp) - len(list_filter(d.sp, p -> NOT list_contains(bl.bl, p))) AS INT) AS n_dropped,
            | array_to_string(list_filter(d.sp, p -> NOT list_contains(bl.bl, p)), chr(10)||chr(10)) AS clean_text
            |FROM docs d CROSS JOIN bl ORDER BY d.url""".stripMargin,
+      "text_repetition" -> TextAnalysis.textRepetitionSql(rp("extracted")),
       // DuckDB replicates the MinHash-LSH banding (bucket cap included)
       // from the materialized band frame and re-verifies candidates with
       // its own exact shingle Jaccard — only the minhash signatures
@@ -473,7 +483,9 @@ object SparkEntry {
       "text_stats" -> TextAnalysis.textStatsSql,
       "text_quality" -> TextAnalysis.textQualitySql,
       "text_top_tokens" -> TextAnalysis.textTopTokensSql,
-      "corpus_split" -> TextAnalysis.corpusSplitSql
+      "corpus_split" -> TextAnalysis.corpusSplitSql,
+      "text_pii" -> TextAnalysis.textPiiSql,
+      "text_chunks" -> TextAnalysis.textChunksSql
     ) ++ extractionOracles
   }
 }

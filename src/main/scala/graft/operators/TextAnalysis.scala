@@ -287,4 +287,235 @@ object TextAnalysis {
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprintGroups(fingerprintPairs(s, dir))
+
+  // ------------------------------------------------------------------
+  // Within-document repetition filters (Gopher-style; oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** Gopher-rule thresholds (Rae et al. 2021, App. A): a document is
+    * repetition-flagged when too many of its lines repeat or one 2-gram
+    * dominates its characters.
+    */
+  val DupLineFracMax = 0.30
+  val DupLineCharFracMax = 0.20
+  val Top2gramCharFracMax = 0.20
+
+  /** Per-document repetition metrics over the EXTRACTED corpus (the
+    * stage after paragraph scrub in a training pipeline):
+    *
+    *   - dup_line_frac       occurrences-beyond-first of repeated
+    *                         non-empty lines / total non-empty lines
+    *   - dup_line_char_frac  same, weighted by line characters
+    *   - top_2gram           most frequent word 2-gram (count desc, gram
+    *                         asc tiebreak — deterministic)
+    *   - top_2gram_frac      chars of all its occurrences (space-stripped)
+    *                         / total alnum-token chars
+    *   - repetition_flagged  any Gopher threshold exceeded
+    *
+    * Scale: two independent explode→agg chains (lines, 2-grams), each one
+    * shuffle keyed by (url, item) with map-side partial agg, then a
+    * per-url top-1 window on the already-collapsed 2-gram counts. Nothing
+    * regroups the full text.
+    */
+  def textRepetition(extracted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = extracted.filter(col("status") === "completed")
+      .select(col("url"), col("text"),
+        Dedup.tokensCol(col("text")).as("toks"))
+      .withColumn("n_alnum_chars", length(concat_ws("", col("toks"))))
+    val lineStats = docs
+      .select(col("url"), explode(split(col("text"), "\n", -1)).as("line"))
+      .filter(col("line") =!= "")
+      .groupBy(col("url"), col("line")).agg(count(lit(1)).as("c"))
+      .groupBy(col("url"))
+      .agg(
+        sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("n_dup_lines"),
+        sum(col("c") * length(col("line"))).as("n_line_chars"),
+        sum((col("c") - 1) * length(col("line"))).as("n_dup_line_chars"))
+    val bigrams = docs
+      .select(col("url"), explode(expr(
+        "CASE WHEN size(toks) >= 2 THEN " +
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])) " +
+          "ELSE array() END")).as("g"))
+      .groupBy(col("url"), col("g")).agg(count(lit(1)).as("c"))
+    val top = bigrams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("c").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("g").as("top_2gram"), col("c").as("top_c"))
+    docs.select(col("url"), col("n_alnum_chars"))
+      .join(lineStats, Seq("url"), "left")
+      .join(top, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        round(coalesce(col("n_dup_lines"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_lines"), lit(0L)), lit(1L)), 4).as("dup_line_frac"),
+        round(coalesce(col("n_dup_line_chars"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_line_chars"), lit(0L)), lit(1L)), 4).as("dup_line_char_frac"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        round(coalesce(col("top_c") * length(regexp_replace(col("top_2gram"), " ", "")), lit(0L))
+          .cast("double") / greatest(col("n_alnum_chars"), lit(1)), 4).as("top_2gram_frac"),
+        (coalesce(col("n_dup_lines"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_lines"), lit(0L)), lit(1L)) > DupLineFracMax ||
+          coalesce(col("n_dup_line_chars"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_line_chars"), lit(0L)), lit(1L)) > DupLineCharFracMax ||
+          coalesce(col("top_c") * length(regexp_replace(col("top_2gram"), " ", "")), lit(0L))
+            .cast("double") / greatest(col("n_alnum_chars"), lit(1)) > Top2gramCharFracMax)
+          .as("repetition_flagged"))
+      .orderBy(col("url"))
+  }
+
+  /** DuckDB recompute of textRepetition from the same extracted parquet
+    * (rp = read_parquet over the materialized table).
+    */
+  def textRepetitionSql(rp: String): String =
+    s"""WITH docs AS (
+       | SELECT url, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+       |  length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS n_alnum_chars
+       | FROM $rp WHERE status = 'completed'),
+       |lines AS (SELECT url, line FROM (
+       |  SELECT url, unnest(string_split(text, chr(10))) AS line FROM docs) t WHERE line <> ''),
+       |lg AS (SELECT url, line, count(*) AS c FROM lines GROUP BY 1, 2),
+       |ld AS (SELECT url, sum(c) AS n_lines, sum(c - 1) AS n_dup_lines,
+       |  sum(c * length(line)) AS n_line_chars,
+       |  sum((c - 1) * length(line)) AS n_dup_line_chars FROM lg GROUP BY url),
+       |bg AS (SELECT url, toks[i] || ' ' || toks[i+1] AS g
+       |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+       |bgc AS (SELECT url, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       |top AS (SELECT url, g AS top_2gram, c AS top_c FROM (
+       |  SELECT url, g, c, row_number() OVER (PARTITION BY url ORDER BY c DESC, g) AS rn
+       |  FROM bgc) t WHERE rn = 1)
+       |SELECT d.url,
+       | CAST(coalesce(ld.n_lines, 0) AS BIGINT) AS n_lines,
+       | round(CAST(coalesce(ld.n_dup_lines, 0) AS DOUBLE) /
+       |   greatest(coalesce(ld.n_lines, 0), 1), 4) AS dup_line_frac,
+       | round(CAST(coalesce(ld.n_dup_line_chars, 0) AS DOUBLE) /
+       |   greatest(coalesce(ld.n_line_chars, 0), 1), 4) AS dup_line_char_frac,
+       | coalesce(top.top_2gram, '') AS top_2gram,
+       | round(CAST(coalesce(top.top_c * length(replace(top.top_2gram, ' ', '')), 0) AS DOUBLE) /
+       |   greatest(d.n_alnum_chars, 1), 4) AS top_2gram_frac,
+       | (CAST(coalesce(ld.n_dup_lines, 0) AS DOUBLE) /
+       |    greatest(coalesce(ld.n_lines, 0), 1) > ${DupLineFracMax} OR
+       |  CAST(coalesce(ld.n_dup_line_chars, 0) AS DOUBLE) /
+       |    greatest(coalesce(ld.n_line_chars, 0), 1) > ${DupLineCharFracMax} OR
+       |  CAST(coalesce(top.top_c * length(replace(top.top_2gram, ' ', '')), 0) AS DOUBLE) /
+       |    greatest(d.n_alnum_chars, 1) > ${Top2gramCharFracMax}) AS repetition_flagged
+       |FROM docs d LEFT JOIN ld ON ld.url = d.url LEFT JOIN top ON top.url = d.url
+       |ORDER BY d.url""".stripMargin
+
+  // ------------------------------------------------------------------
+  // PII detection + redaction (oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** RE2-safe patterns (no lookaround/backrefs) so java.util.regex and
+    * DuckDB's RE2 match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\(?[0-9]{3}\\)?[ -][0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Deterministic PII-bearing corpus: the documents table with synthetic
+    * contact strings appended to a doc_id-keyed subset — the same
+    * derivation the DuckDB oracle replays (the Dedup.corpus pattern), so
+    * detection+redaction is cross-engine-checked on known ground truth.
+    */
+  def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents").select(col("doc_id"), col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact admin"), col("doc_id").cast("string"),
+          lit("@example.com for access")))
+        .when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" call (555) 014-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" served from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"), lit(" upstream")))
+        .otherwise(col("text")).as("pii_text"))
+
+  val piiCorpusSql: String =
+    """SELECT doc_id, text, CASE
+      | WHEN doc_id % 7 = 0 THEN text || ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com for access'
+      | WHEN doc_id % 7 = 1 THEN text || ' call (555) 014-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      | WHEN doc_id % 7 = 2 THEN text || ' served from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' upstream'
+      | ELSE text END AS pii_text
+      |FROM documents""".stripMargin
+
+  /** Per-document PII counts + redacted text. Narrow (codegen'd regex
+    * built-ins, zero shuffle before the output sort) — the shape that
+    * scans 100 TB linearly. Redaction order is fixed (email, phone, ip)
+    * and mirrored in the oracle.
+    */
+  def textPii(s: SparkSession, dir: String): DataFrame =
+    piiCorpus(s, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(Ipv4Re), lit(0))).as("n_ipv4"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted_text"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") > 0)
+      .orderBy(col("doc_id"))
+
+  val textPiiSql: String =
+    s"""WITH pii AS ($piiCorpusSql)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INT) AS n_emails,
+       | CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INT) AS n_phones,
+       | CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS INT) AS n_ipv4,
+       | regexp_replace(regexp_replace(regexp_replace(pii_text,
+       |   '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$Ipv4Re', '<IP>', 'g')
+       |   AS redacted_text,
+       | len(regexp_extract_all(pii_text, '$EmailRe'))
+       |  + len(regexp_extract_all(pii_text, '$PhoneRe'))
+       |  + len(regexp_extract_all(pii_text, '$Ipv4Re')) > 0 AS has_pii
+       |FROM pii ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Fixed-token training chunks (oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** Training-chunk window/stride (tokens): 64-token windows every 48
+    * tokens (16-token overlap) — the sliding-window shape every training
+    * tokenizer pass uses, scaled down to the synthetic docs' lengths.
+    */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** Split each document into overlapping fixed-token chunks. Narrow
+    * per-row expansion (posexplode of a computed array) — no shuffle, so
+    * chunking 100 TB is a pure map stage feeding the tokenizer.
+    */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_doc_tokens"),
+        posexplode(expr(
+          s"CASE WHEN size(toks) >= 1 THEN " +
+            s"transform(sequence(0, size(toks) - 1, $ChunkStride), " +
+            s"st -> concat_ws(' ', slice(toks, st + 1, $ChunkWindow))) " +
+            "ELSE array() END")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("n_doc_tokens"),
+        size(split(col("col"), " ", -1)).as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val textChunksSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |st AS (SELECT doc_id, t, CAST(i / $ChunkStride AS INT) AS chunk_id, i
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS i) g
+       |  WHERE len(t) >= 1)
+       |SELECT doc_id, chunk_id, CAST(len(t) AS INT) AS n_doc_tokens,
+       | CAST(len(t[i + 1 : i + $ChunkWindow]) AS INT) AS n_chunk_tokens,
+       | array_to_string(t[i + 1 : i + $ChunkWindow], ' ') AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Repetition filters, PII redaction, and token-window chunking — the
+  * quality/prep stages added on top of the extraction pipeline.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  private def extractedFrame(rows: (String, String, String)*) =
+    rows.toDF("url", "status", "text")
+
+  test("repetition: duplicate lines and dominant 2-grams are measured and flagged") {
+    val f = extractedFrame(
+      // 4 lines, "same line" three times: dup_line_frac = 2/4 = 0.5 → flagged
+      ("u1", "completed", "same line\nsame line\nsame line\nunique"),
+      // dominant 2-gram: "buy now" repeated; 8 tokens, all "buy now" pairs
+      ("u2", "completed", "buy now buy now buy now buy now"),
+      // benign prose (long enough that no single 2-gram can dominate —
+      // the Gopher top-2gram rule presumes non-trivial doc length)
+      ("u3", "completed",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa\n" +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"),
+      ("u4", "failed", "ignored"))
+    val out = TextAnalysis.textRepetition(f).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("u1", "u2", "u3"))
+    val u1 = out("u1")
+    assert(u1.getLong(1) == 4L) // n_lines
+    assert(u1.getDouble(2) == 0.5) // dup_line_frac
+    assert(u1.getBoolean(6)) // flagged
+    val u2 = out("u2")
+    assert(u2.getString(4) == "buy now") // top_2gram (7 occurrences beats "now buy" at 3... tie rules)
+    assert(u2.getDouble(5) > 0.5) // dominant
+    assert(u2.getBoolean(6))
+    val u3 = out("u3")
+    assert(u3.getDouble(2) == 0.0 && !u3.getBoolean(6))
+  }
+
+  test("repetition: 2-gram tiebreak is deterministic (count desc, gram asc)") {
+    // "a b a b": grams = a b, b a, a b → "a b" wins by count
+    // "x y y x": grams = x y, y y, y x → all count 1 → "x y" wins lexicographically? no: "x y" vs "y x" vs "y y" → "x y"
+    val f = extractedFrame(
+      ("t1", "completed", "a b a b"),
+      ("t2", "completed", "x y y x"))
+    val out = TextAnalysis.textRepetition(f).collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(out("t1") == "a b")
+    assert(out("t2") == "x y")
+  }
+
+  test("pii: injected contacts are counted and redacted; clean docs untouched") {
+    val out = TextAnalysis.textPii(spark, sf0001)
+      .filter(col("doc_id") < 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc_id 0: email; 1: phone; 2: ipv4; 3-6: clean
+    assert(out(0L).getInt(1) == 1 && out(0L).getBoolean(5))
+    assert(out(0L).getString(4).contains("<EMAIL>"))
+    assert(!out(0L).getString(4).contains("@"))
+    assert(out(1L).getInt(2) == 1 && out(1L).getString(4).contains("<PHONE>"))
+    assert(out(2L).getInt(3) == 1 && out(2L).getString(4).contains("<IP>"))
+    (3L to 6L).foreach { id =>
+      val r = out(id)
+      assert(r.getInt(1) + r.getInt(2) + r.getInt(3) == 0)
+      assert(!r.getBoolean(5))
+    }
+    // redaction never leaves a raw match behind, corpus-wide
+    val leaked = TextAnalysis.textPii(spark, sf0001)
+      .filter(col("redacted_text").rlike(TextAnalysis.EmailRe) ||
+        col("redacted_text").rlike(TextAnalysis.PhoneRe) ||
+        col("redacted_text").rlike(TextAnalysis.Ipv4Re)).count()
+    assert(leaked == 0L)
+  }
+
+  test("chunks: window/stride tiling covers every token with the configured overlap") {
+    val chunks = TextAnalysis.textChunks(spark, sf0001)
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1)
+    val docs = graft.operators.Relational.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id).split("\\s+").filter(_.nonEmpty)
+      val sorted = cs.sortBy(_._2)
+      // chunk count = number of stride starts below n_tokens
+      val expectedStarts = 0 until toks.length by TextAnalysis.ChunkStride
+      assert(sorted.length == expectedStarts.length, s"doc $id")
+      sorted.zip(expectedStarts).foreach { case ((_, _, nDoc, nChunk, text), st) =>
+        assert(nDoc == toks.length)
+        val expected = toks.slice(st, st + TextAnalysis.ChunkWindow)
+        assert(nChunk == expected.length, s"doc $id start $st")
+        assert(text == expected.mkString(" "), s"doc $id start $st")
+      }
+    }
+    // adjacent chunks overlap by window - stride tokens (when both full)
+    val overlap = TextAnalysis.ChunkWindow - TextAnalysis.ChunkStride
+    chunks.values.filter(_.length >= 2).take(5).foreach { cs =>
+      val s2 = cs.sortBy(_._2)
+      s2.sliding(2).foreach { case Array(a, b) =>
+        if (a._4 == TextAnalysis.ChunkWindow && b._4 >= overlap) {
+          val aToks = a._5.split(' ')
+          val bToks = b._5.split(' ')
+          assert(aToks.takeRight(overlap).sameElements(bToks.take(overlap)))
+        }
+      }
+    }
+  }
+}
