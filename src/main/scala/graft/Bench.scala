@@ -145,7 +145,8 @@ object Bench {
     val secondary = Seq(
       "q1_pricing_summary", "q3_top_revenue", "q_window_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "ann_bruteforce", "ann_lsh", "text_stats", "text_quality")
+      "ann_bruteforce", "ann_lsh", "text_stats", "text_quality",
+      "para_scrub", "text_repetition", "text_pii", "text_chunks")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation

@@ -143,6 +143,27 @@ object SparkEntry {
       }),
       "stream_event_windows" -> ((s, dir) =>
         StreamingExtract.eventWindowCounts(s, dir)),
+      "stream_dedup_state" -> ((s, dir) => {
+        // stateful streaming dedup (mapGroupsWithState): the corpus is
+        // staged as 4 files and drained 2 files per micro-batch, so the
+        // driver-checked path really crosses state between batches; the
+        // update-log fold must equal the batch md5 group-by (the DuckDB
+        // oracle recomputes it relationally)
+        val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+        graft.streaming.StreamingDedup.exactDupCorpus(s, dir)
+          .repartition(4).write.mode("overwrite").parquet(s"$base/docs")
+        val name = "stream_dedup_" + java.lang.Long.toHexString(System.nanoTime())
+        graft.streaming.StreamingDedup.runAvailableNow(
+          s, s"$base/docs", name, maxFilesPerTrigger = Some(2))
+        val out = graft.streaming.StreamingDedup.resolve(s, name).localCheckpoint()
+        s.catalog.dropTempView(name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        out
+      }),
       "extract_profiles" -> ((s, dir) => {
         // the reference's three engines as deterministic kernel profiles
         // (A4/A5/A7) + all 5 ollama output_format serializers + the A6
@@ -185,6 +206,9 @@ object SparkEntry {
       // extracted corpus; DuckDB recomputes lines/2-grams/fractions itself
       "text_repetition" -> ((s, dir) =>
         TextAnalysis.textRepetition(cachedExtract(s, dir))),
+      // URL canonicalization + dedup over a deterministic variant corpus
+      "url_dedup" -> ((s, dir) =>
+        graft.operators.UrlDedup.urlDedup(cachedExtract(s, dir))),
       // ---- end-to-end training-corpus pipeline ----
       "pipeline_corpus" -> ((s, dir) => pipelineCorpusMat(s, dir).orderBy(col("url"))),
       "pipeline_funnel" -> ((s, dir) =>
@@ -366,6 +390,7 @@ object SparkEntry {
            | array_to_string(list_filter(d.sp, p -> NOT list_contains(bl.bl, p)), chr(10)||chr(10)) AS clean_text
            |FROM docs d CROSS JOIN bl ORDER BY d.url""".stripMargin,
       "text_repetition" -> TextAnalysis.textRepetitionSql(rp("extracted")),
+      "url_dedup" -> graft.operators.UrlDedup.urlDedupSql(rp("extracted")),
       // DuckDB replicates the MinHash-LSH banding (bucket cap included)
       // from the materialized band frame and re-verifies candidates with
       // its own exact shingle Jaccard — only the minhash signatures
@@ -476,6 +501,13 @@ object SparkEntry {
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
       "dedup_exact" -> Dedup.dedupExactSql,
+      // streaming stateful dedup == batch md5 group-by (running-min /
+      // running-count updates make the fold batch-equivalent) over a
+      // corpus with genuine exact duplicates
+      "stream_dedup_state" ->
+        s"""WITH all_docs AS (${graft.streaming.StreamingDedup.exactDupCorpusSql})
+           |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM all_docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
       "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
       "dedup_embedding" -> Dedup.dedupEmbeddingSql,
       "dedup_clusters" -> Dedup.dedupClustersSql,

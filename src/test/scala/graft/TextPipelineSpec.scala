@@ -77,6 +77,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(leaked == 0L)
   }
 
+  test("url canonicalization: case, default port, query, fragment, trailing slash all collapse") {
+    import graft.operators.UrlDedup
+    val cases = Seq(
+      "https://Host.Example/a/b" -> "https://host.example/a/b",
+      "HTTPS://host.example:443/a/b" -> "https://host.example/a/b",
+      "https://host.example:80/a/b" -> "https://host.example/a/b",
+      "https://host.example:8080/a/b" -> "https://host.example:8080/a/b", // non-default port kept
+      "https://host.example/a/b?utm_source=x&id=7" -> "https://host.example/a/b",
+      "https://host.example/a/b#frag" -> "https://host.example/a/b",
+      "https://host.example/a/b///" -> "https://host.example/a/b",
+      "https://host.example/" -> "https://host.example")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlDedup.canonicalCol(col("url"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) => assert(g == want, s"url $in") }
+  }
+
+  test("url dedup: every canonical group is exactly original + its variant") {
+    import graft.operators.UrlDedup
+    val extracted = SparkEntry.queries("extract_main")(spark, sf0001)
+    val groups = UrlDedup.urlDedup(extracted)
+      .as[(String, Long, String)].collect()
+    val nCompleted = extracted.filter(col("status") === "completed").count()
+    assert(groups.length == nCompleted) // nothing merged across distinct pages
+    assert(groups.forall(_._2 == 2L)) // each original collapsed with its variant
+    // originals are already canonical, so the group key equals the original
+    val originals = extracted.filter(col("status") === "completed")
+      .select(col("url")).as[String].collect().toSet
+    assert(groups.forall(g => originals.contains(g._1)))
+  }
+
   test("chunks: window/stride tiling covers every token with the configured overlap") {
     val chunks = TextAnalysis.textChunks(spark, sf0001)
       .as[(Long, Int, Int, Int, String)].collect()
