@@ -450,7 +450,127 @@ object Relational {
       |INTERSECT SELECT strftime(o_orderdate, '%Y-%m') AS month FROM orders ORDER BY month""".stripMargin
 
   /** All relational queries + oracles, keyed for SparkEntry. */
+  /** AS-OF JOIN — the canonical time-series operator Spark lacks as a
+    * built-in (for each purchase, the same user's latest click at or
+    * before it), composed the scale-correct way: tag both sides, UNION,
+    * and carry the running last right-side row per key with an
+    * ignoreNulls `last()` over a rows-unbounded-preceding window. ONE
+    * shuffle on the key, no range cross-product — the naive
+    * `l.ts >= r.ts` join explodes quadratically in events per key. The
+    * right side is pre-deduped to one row per (key, ts) so the pick is
+    * deterministic; equal timestamps match (right sorts before left at
+    * the same ts). Oracle: DuckDB's NATIVE `ASOF LEFT JOIN` — a fully
+    * independent implementation of the same semantics.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("r_event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_event_id"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("l_event_id"),
+        lit(null).cast("long").as("r_event_id"),
+        lit(null).cast("timestamp").as("r_ts"))
+      .unionAll(clicks.select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("l_event_id"), col("r_event_id"),
+        col("ts").as("r_ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("l_event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("click_ts"))).as("lag_seconds"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, c.click_id,
+      | CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_seconds
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  /** RANGE JOIN against a tiny band table — the scale-correct plan is a
+    * BROADCAST nested-loop on the band predicate (never a shuffle): the
+    * fact side streams through codegen'd comparisons against the
+    * broadcast bands. Half-open [lo, hi) bands so every quantity lands
+    * in exactly one band on both engines.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("q1_tiny", 0.0, 10.0), ("q2_small", 10.0, 20.0), ("q3_mid", 20.0, 35.0),
+      ("q4_large", 35.0, 50.0), ("q5_huge", 50.0, 1e9))
+      .toDF("band", "lo", "hi")
+    table(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |JOIN (VALUES ('q1_tiny', 0.0, 10.0), ('q2_small', 10.0, 20.0),
+      |             ('q3_mid', 20.0, 35.0), ('q4_large', 35.0, 50.0),
+      |             ('q5_huge', 50.0, 1e9)) b(band, lo, hi)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Gap-based SESSIONIZATION (30-minute inactivity splits a user's
+    * events into sessions) — lag + running sum over one per-user window:
+    * ONE shuffle on user_id, no self-join. The per-session agg reuses
+    * the same partitioning (no second exchange before the group-by on
+    * (user_id, session_seq) under AQE).
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_seconds"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH g AS (
+      | SELECT user_id, ts, event_id,
+      |  date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+      | FROM events),
+      |m AS (
+      | SELECT user_id, ts,
+      |  sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      | FROM g)
+      |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_seconds
+      |FROM m GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q_asof_join", qAsofJoin _, qAsofJoinSql),
+    ("q_range_join", qRangeJoin _, qRangeJoinSql),
+    ("q_sessionize", qSessionize _, qSessionizeSql),
     ("q1_pricing_summary", q1PricingSummary _, q1Sql),
     ("q3_top_revenue", q3TopRevenue _, q3Sql),
     ("q_broadcast_dims", qBroadcastDims _, qBroadcastDimsSql),

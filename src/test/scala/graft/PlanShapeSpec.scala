@@ -119,6 +119,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
 
+  test("range join: tiny band table broadcasts (no shuffle of the fact side)") {
+    val plan = physicalPlan(Relational.qRangeJoin(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("as-of join: union+window composition shuffles once on the key (no range join)") {
+    val plan = physicalPlan(Relational.qAsofJoin(spark, "/root/testdata/sf0.001"))
+    // one hashpartitioning(user_id) exchange feeds the window (the click
+    // side's (user_id, ts) pre-dedup agg is a separate, smaller shuffle);
+    // there must be NO join operator at all
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    val keyExchanges = "hashpartitioning\\(user_id#\\d+L, \\d+\\)".r.findAllIn(plan).length
+    assert(keyExchanges == 1, s"expected exactly one window key shuffle, got $keyExchanges:\n$plan")
+  }
+
+  test("sessionize: window and session agg share one user_id shuffle") {
+    val plan = physicalPlan(Relational.qSessionize(spark, "/root/testdata/sf0.001"))
+    val keyExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(keyExchanges == 1,
+      s"session agg must reuse the window's partitioning, got $keyExchanges:\n$plan")
+  }
+
   test("ann: query side broadcast against the corpus scan") {
     val plan = physicalPlan(Similarity.annBruteForce(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
