@@ -263,7 +263,8 @@ object SparkEntry {
       // stages over the documents table (PII corpus derived identically
       // on both engines — the Dedup.corpus pattern)
       "text_pii" -> ((s, dir) => TextAnalysis.textPii(s, dir)),
-      "text_chunks" -> ((s, dir) => TextAnalysis.textChunks(s, dir))
+      "text_chunks" -> ((s, dir) => TextAnalysis.textChunks(s, dir)),
+      "text_length_quantiles" -> ((s, dir) => TextAnalysis.textLengthQuantiles(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -517,7 +518,8 @@ object SparkEntry {
       "text_top_tokens" -> TextAnalysis.textTopTokensSql,
       "corpus_split" -> TextAnalysis.corpusSplitSql,
       "text_pii" -> TextAnalysis.textPiiSql,
-      "text_chunks" -> TextAnalysis.textChunksSql
+      "text_chunks" -> TextAnalysis.textChunksSql,
+      "text_length_quantiles" -> TextAnalysis.textLengthQuantilesSql
     ) ++ extractionOracles
   }
 }

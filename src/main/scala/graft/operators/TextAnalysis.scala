@@ -406,6 +406,38 @@ object TextAnalysis {
        |ORDER BY d.url""".stripMargin
 
   // ------------------------------------------------------------------
+  // Corpus length-distribution quantiles (oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** Interpolated p50/p90/p99 of per-document token counts by language —
+    * the distribution panel every training-mix dashboard has. Exact
+    * percentile here (oracle-comparable against DuckDB's quantile_cont);
+    * the approximate-sketch counterpart (approx_percentile /
+    * approx_count_distinct, what you'd actually run at 100 TB) is
+    * spec-verified against these exact values in OperatorsSpec-style
+    * tests because approximate answers can't hash-match across engines.
+    */
+  def textLengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.5)"), 2).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 2).as("p90_tokens"),
+        round(expr("percentile(n_tokens, 0.99)"), 2).as("p99_tokens"))
+      .orderBy(col("lang"))
+
+  val textLengthQuantilesSql: String =
+    """WITH t AS (SELECT lang, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      | round(quantile_cont(n_tokens, 0.5), 2) AS p50_tokens,
+      | round(quantile_cont(n_tokens, 0.9), 2) AS p90_tokens,
+      | round(quantile_cont(n_tokens, 0.99), 2) AS p99_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // PII detection + redaction (oracle-checked)
   // ------------------------------------------------------------------
 

@@ -142,6 +142,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"session agg must reuse the window's partitioning, got $keyExchanges:\n$plan")
   }
 
+  test("text_pii / text_chunks: narrow plans — no key shuffle, no join") {
+    Seq(
+      graft.operators.TextAnalysis.textPii(spark, "/root/testdata/sf0.001"),
+      graft.operators.TextAnalysis.textChunks(spark, "/root/testdata/sf0.001")
+    ).foreach { df =>
+      val plan = physicalPlan(df)
+      // the only exchange allowed is the output sort's rangepartitioning
+      assert(!plan.contains("hashpartitioning"), s"unexpected key shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    }
+  }
+
   test("ann: query side broadcast against the corpus scan") {
     val plan = physicalPlan(Similarity.annBruteForce(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)

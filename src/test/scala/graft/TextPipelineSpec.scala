@@ -107,6 +107,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(groups.forall(g => originals.contains(g._1)))
   }
 
+  test("approximate sketches track the exact distribution (the 100 TB stats path)") {
+    // the registered text_length_quantiles query is EXACT (oracle-
+    // comparable); at real scale you run the sketch versions — pin their
+    // error against the exact answers so the scale path is trustworthy
+    val docs = graft.operators.Relational.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"))
+    val (exactD, approxD) = docs
+      .agg(countDistinct(col("doc_id")), approx_count_distinct(col("doc_id")))
+      .as[(Long, Long)].head()
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL off by more than 5%: $approxD vs $exactD")
+    val (exactP, approxP) = docs
+      .agg(expr("percentile(n_tokens, 0.9)"),
+        expr("CAST(approx_percentile(n_tokens, 0.9, 1000) AS DOUBLE)"))
+      .as[(Double, Double)].head()
+    assert(math.abs(approxP - exactP) / exactP < 0.05,
+      s"approx p90 off by more than 5%: $approxP vs $exactP")
+  }
+
   test("chunks: window/stride tiling covers every token with the configured overlap") {
     val chunks = TextAnalysis.textChunks(spark, sf0001)
       .as[(Long, Int, Int, Int, String)].collect()
