@@ -103,4 +103,39 @@ object StreamingDedup {
       .groupBy(col("h"))
       .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
       .orderBy(col("keep_id"))
+
+  /** PRODUCTION shape: update-mode state changelog appended to parquet
+    * via foreachBatch (file sinks can't take update mode directly — the
+    * changelog-to-table pattern), with the source offsets AND the dedup
+    * state in `checkpointDir`. Run it again after more files land in
+    * `docsDir` and the new run resumes the state store: a duplicate whose
+    * first copy arrived in an earlier RUN continues its n_copies count
+    * instead of restarting at 1 (StreamingDedupSpec pins this). The
+    * final answer is the same fold as `resolve`, over the parquet
+    * changelog.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      docsDir: String,
+      checkpointDir: String,
+      outDir: String): Unit = {
+    val q = dedupStream(spark, docsDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DedupUpdate], batchId: Long) =>
+        batch.toDF().withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold of the parquet changelog written by `runIncremental`. */
+  def resolveParquet(spark: SparkSession, outDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("h"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_copies")).as("n_copies"))
+      .orderBy(col("keep_id"))
 }
