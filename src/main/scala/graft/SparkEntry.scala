@@ -84,7 +84,8 @@ object SparkEntry {
   private def pipelineCorpusMat(s: SparkSession, dir: String): DataFrame =
     materialize(s, s"${oracleBase(dir)}/pipeline_corpus")(
       graft.operators.CorpusPipeline.corpus(s, dir)
-        .select("url", "is_exact_dup", "is_near_dup", "quality", "lang_pred", "keep"))
+        .select("url", "n_paras_dropped", "is_exact_dup", "is_near_dup",
+          "repetition_flagged", "quality", "lang_pred", "keep"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -364,7 +365,8 @@ object SparkEntry {
         s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
            |FROM ${rp("langid_pairs")} GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
       "pipeline_corpus" ->
-        s"""SELECT url, is_exact_dup, is_near_dup, quality, lang_pred, keep
+        s"""SELECT url, n_paras_dropped, is_exact_dup, is_near_dup,
+           | repetition_flagged, quality, lang_pred, keep
            |FROM ${rp("pipeline_corpus")} ORDER BY url""".stripMargin,
       // paragraph dedup: DuckDB re-splits the extracted text, re-derives
       // doc frequency, and re-runs the scrub with its own list lambda —
@@ -491,7 +493,8 @@ object SparkEntry {
            | SELECT '1_extracted_ok' AS stage, count(*) AS n_docs FROM ${rp("pipeline_corpus")}
            | UNION ALL SELECT '2_after_exact_dedup', count(*) FROM ${rp("pipeline_corpus")} WHERE NOT is_exact_dup
            | UNION ALL SELECT '3_after_near_dedup', count(*) FROM ${rp("pipeline_corpus")} WHERE NOT is_exact_dup AND NOT is_near_dup
-           | UNION ALL SELECT '4_after_quality_filter', count(*) FROM ${rp("pipeline_corpus")} WHERE keep
+           | UNION ALL SELECT '4_after_repetition_filter', count(*) FROM ${rp("pipeline_corpus")} WHERE NOT is_exact_dup AND NOT is_near_dup AND NOT repetition_flagged
+           | UNION ALL SELECT '5_after_quality_filter', count(*) FROM ${rp("pipeline_corpus")} WHERE keep
            |) t ORDER BY stage""".stripMargin
     )
     Relational.all.map { case (name, _, sql) => name -> sql }.toMap ++ Map(

@@ -6,17 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.sources.PageSynth
 
 /** The end-to-end training-corpus pipeline — what this engine exists to
-  * run at 100 TB: pages → main-content extraction → exact + near dedup →
-  * quality filter → language ID → training-ready corpus.
+  * run at 100 TB: pages → main-content extraction → paragraph scrub →
+  * exact + near dedup → repetition + quality filters → language ID →
+  * training-ready corpus.
   *
-  * Stage order is deliberate (cheapest-reduction-first at scale):
+  * Stage order is deliberate:
   *   1. extract           narrow kernel, no shuffle
+  *   1.5 paragraph scrub  CCNet order: cross-document boilerplate out
+  *                        BEFORE dedup — shared chrome otherwise inflates
+  *                        both md5 collisions missed and shingle Jaccard
+  *                        (one df shuffle + broadcast-set narrow map)
   *   2. exact dedup       one shuffle on md5(text) — kills byte-copies
   *                        before the costlier shingle pass
   *   3. near dedup        MinHash-LSH candidates verified by Jaccard;
   *                        keep the lowest url per duplicate cluster
-  *   4. quality filter    C4-style score over extracted text, no shuffle
-  *   5. language ID       kernel heuristic, no shuffle
+  *   4. repetition filter Gopher dup-line/top-2gram flag on scrubbed text
+  *   5. quality filter    C4-style score over extracted text, no shuffle
+  *   6. language ID       kernel heuristic, no shuffle
   *
   * `funnel` reports per-stage survivor counts — the number every corpus
   * job publishes next to its output.
@@ -40,9 +46,22 @@ object CorpusPipeline {
   /** Extracted docs annotated with every pipeline signal + keep flags. */
   def corpus(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
     import s.implicits._
-    val extracted = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets)
+    val extracted0 = ExtractJob.extract(s, PageSynth.pages(s, dir), buckets)
       .toDF()
       .filter(col("status") === "completed" && length(col("text")) > 0)
+
+    // 1.5 paragraph scrub: remove cross-document boilerplate paragraphs
+    // before any dedup sees the text (the CCNet stage order)
+    val extracted = ParagraphDedup.paragraphScrubFrom(s,
+        extracted0.select(col("url"), lit("completed").as("status"), col("text")))
+      .select(col("url"), col("clean_text").as("text"),
+        col("n_dropped").as("n_paras_dropped"))
+      .filter(length(col("text")) > 0)
+
+    // 4. repetition flag on the scrubbed text (joined back at the end)
+    val repetition = TextAnalysis.textRepetition(
+        extracted.select(col("url"), lit("completed").as("status"), col("text")))
+      .select(col("url"), col("repetition_flagged"))
 
     // 2. exact dedup: keep min url per identical text
     val withHash = extracted.withColumn("h", md5(col("text")))
@@ -91,7 +110,7 @@ object CorpusPipeline {
       .select(col("url_b").as("url")) // keep the smaller url of each pair
       .distinct()
 
-    // 4+5. quality + language over the survivors
+    // 5+6. quality + language over the survivors
     import s.implicits._
     val langOf = (t: String) => TextAnalysis.langIdOf(TextAnalysis.stripMergeChrome(t))
     val survivors = exactKept
@@ -99,12 +118,17 @@ object CorpusPipeline {
       .withColumn("is_near_dup", coalesce(col("is_near_dup"), lit(false)))
       .withColumn("quality", round(qualityCol(col("text")), 3))
     val withLang = survivors
-      .select(col("url"), col("text"), col("is_exact_dup"), col("is_near_dup"), col("quality"))
-      .as[(String, String, Boolean, Boolean, Double)]
-      .map { case (url, text, ed, nd, q) => (url, text, ed, nd, q, langOf(text)) }
-      .toDF("url", "text", "is_exact_dup", "is_near_dup", "quality", "lang_pred")
-    withLang.withColumn("keep",
-      !col("is_exact_dup") && !col("is_near_dup") && col("quality") >= QualityThreshold)
+      .select(col("url"), col("text"), col("n_paras_dropped"),
+        col("is_exact_dup"), col("is_near_dup"), col("quality"))
+      .as[(String, String, Int, Boolean, Boolean, Double)]
+      .map { case (url, text, np, ed, nd, q) => (url, text, np, ed, nd, q, langOf(text)) }
+      .toDF("url", "text", "n_paras_dropped", "is_exact_dup", "is_near_dup",
+        "quality", "lang_pred")
+    withLang
+      .join(repetition, Seq("url"))
+      .withColumn("keep",
+        !col("is_exact_dup") && !col("is_near_dup") && !col("repetition_flagged") &&
+          col("quality") >= QualityThreshold)
   }
 
   /** Per-stage funnel counts — the pipeline's publishable summary. */
@@ -118,13 +142,16 @@ object CorpusPipeline {
     val total = c.count()
     val afterExact = c.filter(!col("is_exact_dup")).count()
     val afterNear = c.filter(!col("is_exact_dup") && !col("is_near_dup")).count()
+    val afterRep = c.filter(!col("is_exact_dup") && !col("is_near_dup") &&
+      !col("repetition_flagged")).count()
     val kept = c.filter(col("keep")).count()
     import s.implicits._
     Seq(
       ("1_extracted_ok", total),
       ("2_after_exact_dedup", afterExact),
       ("3_after_near_dedup", afterNear),
-      ("4_after_quality_filter", kept)
+      ("4_after_repetition_filter", afterRep),
+      ("5_after_quality_filter", kept)
     ).toDF("stage", "n_docs").orderBy(col("stage"))
   }
 }

@@ -238,13 +238,16 @@ class OperatorsSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toMap
       assert(funnel("1_extracted_ok") >= funnel("2_after_exact_dedup"))
       assert(funnel("2_after_exact_dedup") >= funnel("3_after_near_dedup"))
-      assert(funnel("3_after_near_dedup") >= funnel("4_after_quality_filter"))
-      assert(funnel("4_after_quality_filter") > 0)
+      assert(funnel("3_after_near_dedup") >= funnel("4_after_repetition_filter"))
+      assert(funnel("4_after_repetition_filter") >= funnel("5_after_quality_filter"))
+      assert(funnel("5_after_quality_filter") > 0)
       // natural near-dups exist in the synthetic corpus → stage 3 < stage 2
       assert(funnel("3_after_near_dedup") < funnel("2_after_exact_dedup"))
-      // kept rows: no dup flags, quality above threshold
+      // paragraph scrub removed cross-document boilerplate somewhere
+      assert(c.agg(sum(col("n_paras_dropped"))).head().getLong(0) > 0)
+      // kept rows: no dup/repetition flags, quality above threshold
       val bad = c.filter(col("keep") &&
-        (col("is_exact_dup") || col("is_near_dup") ||
+        (col("is_exact_dup") || col("is_near_dup") || col("repetition_flagged") ||
           col("quality") < graft.operators.CorpusPipeline.QualityThreshold)).count()
       assert(bad == 0)
       // kept texts are pairwise distinct (exact dedup held)
