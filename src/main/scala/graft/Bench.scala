@@ -201,6 +201,9 @@ object Bench {
             d.copy(doc_id = d.doc_id * repl + r, text = sb.toString.trim)
           }
         }.map(PageSynth.pageFor)
+          // the docs table is one file → one partition; without this the
+          // timed signature kernel below would run on a single task
+          .repartition(hi * 4)
         val extracted = ExtractJob
           .extract(sHi, distinctPages, buckets = 256)
           .toDF()

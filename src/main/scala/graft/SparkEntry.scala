@@ -63,7 +63,12 @@ object SparkEntry {
 
   private def cachedExtract(s: SparkSession, dir: String): DataFrame =
     materialize(s, s"${oracleBase(dir)}/extracted") {
+      // repartition before writing: the single-file smoke docs table gives
+      // the kernel one scan partition, and writing its output as one file
+      // would serialize every downstream extraction-family query too
+      // (fixture artifact — real corpora arrive as many splittable files)
       ExtractJob.extract(s, PageSynth.pages(s, dir), buckets = 32).toDF()
+        .repartition(s.sparkContext.defaultParallelism)
     }
 
   private def mediaMetaMat(s: SparkSession, dir: String): DataFrame =
@@ -265,7 +270,8 @@ object SparkEntry {
       // on both engines — the Dedup.corpus pattern)
       "text_pii" -> ((s, dir) => TextAnalysis.textPii(s, dir)),
       "text_chunks" -> ((s, dir) => TextAnalysis.textChunks(s, dir)),
-      "text_length_quantiles" -> ((s, dir) => TextAnalysis.textLengthQuantiles(s, dir))
+      "text_length_quantiles" -> ((s, dir) => TextAnalysis.textLengthQuantiles(s, dir)),
+      "text_lm_score" -> ((s, dir) => TextAnalysis.textLmScore(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -522,7 +528,8 @@ object SparkEntry {
       "corpus_split" -> TextAnalysis.corpusSplitSql,
       "text_pii" -> TextAnalysis.textPiiSql,
       "text_chunks" -> TextAnalysis.textChunksSql,
-      "text_length_quantiles" -> TextAnalysis.textLengthQuantilesSql
+      "text_length_quantiles" -> TextAnalysis.textLengthQuantilesSql,
+      "text_lm_score" -> TextAnalysis.textLmScoreSql
     ) ++ extractionOracles
   }
 }

@@ -81,13 +81,22 @@ object Dedup {
     c.set(m("dropped_buckets").asInstanceOf[Long], m("dropped_slots").asInstanceOf[Long])
   }
 
-  /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated). */
+  /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated).
+    *
+    * The smoke tables are ONE small parquet file → one scan partition, so
+    * without the explicit repartition the narrow signature kernels
+    * downstream would run on a single task no matter the core count —
+    * a fixture artifact, not a property of the operators (real corpora
+    * arrive as thousands of splittable files). The repartition restores
+    * the parallelism the operators would see at scale.
+    */
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionAll(
       docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" graft dup marker suffix")).as("text")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   val corpusSql: String =

@@ -24,9 +24,12 @@ object Similarity {
 
   val TopK = 5
 
-  /** Query set: every 100th vector id. */
+  /** Query set: every 100th vector id. (The repartition undoes the
+    * single-file smoke table's one-partition scan — see Dedup.corpus.)
+    */
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Relational.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", Dedup.l2norm(col("e")))
     val q = e.filter(col("vec_id") % 100 === 0)

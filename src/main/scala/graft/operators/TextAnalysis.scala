@@ -438,6 +438,57 @@ object TextAnalysis {
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------
+  // Unigram LM quality score (CCNet-style; oracle-checked)
+  // ------------------------------------------------------------------
+
+  /** Vocabulary cap — the heavy-hitters set that stays broadcastable at
+    * any corpus size (top tokens by count, deterministic tiebreak).
+    * Tokens outside the cap score as unseen (add-one smoothing).
+    */
+  val LmVocabCap = 65536
+
+  /** CCNet's LM-quality stage re-expressed with a self-trained unigram
+    * model: train token counts over the corpus (one shuffle, capped to
+    * the broadcastable head), then score each document by its average
+    * add-one-smoothed token log-probability — low scorers are gibberish
+    * / boilerplate, high scorers are common fluent text. Two shuffles
+    * total (vocab agg, per-doc agg); the scoring join broadcasts the
+    * vocab so the token stream never shuffles.
+    */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(LmVocabCap)
+    val stats = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("n") + col("v"))))
+      .withColumn("oov", when(col("c").isNull, 1.0).otherwise(0.0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("logp")), 3).as("avg_logprob"),
+        round(avg(col("oov")), 3).as("oov_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok, c FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok) t
+       |          ORDER BY c DESC, tok LIMIT $LmVocabCap),
+       |stats AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+       |scored AS (SELECT t.doc_id,
+       |  ln((coalesce(vb.c, 0) + 1.0) / (s.n + s.v)) AS logp,
+       |  CASE WHEN vb.tok IS NULL THEN 1.0 ELSE 0.0 END AS oov
+       | FROM toks t LEFT JOIN vocab vb ON vb.tok = t.tok CROSS JOIN stats s)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       | round(avg(logp), 3) AS avg_logprob,
+       | round(avg(oov), 3) AS oov_frac
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // PII detection + redaction (oracle-checked)
   // ------------------------------------------------------------------
 

