@@ -146,7 +146,8 @@ object Bench {
       "q1_pricing_summary", "q3_top_revenue", "q_window_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "ann_bruteforce", "ann_lsh", "text_stats", "text_quality",
-      "para_scrub", "text_repetition", "text_pii", "text_chunks")
+      "para_scrub", "text_repetition", "text_pii", "text_chunks",
+      "text_lm_score", "q_asof_join", "q_sessionize")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation
