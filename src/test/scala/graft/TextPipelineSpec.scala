@@ -93,6 +93,20 @@ class TextPipelineSpec extends AnyFunSuite {
     got.zip(cases).foreach { case (g, (in, want)) => assert(g == want, s"url $in") }
   }
 
+  test("url canonicalization: total on malformed input (never throws, deterministic)") {
+    import graft.operators.UrlDedup
+    val junk = Seq("", "notaurl", "http://", "https:///path", "ftp://h:21/x",
+      "https://host:99999/a", "//schemeless/path", "https://host?only=query")
+    val out = junk.toDF("url")
+      .select(UrlDedup.canonicalCol(col("url"))).as[String].collect()
+    assert(out.length == junk.length) // no exceptions, one row each
+    // twice-canonicalized equals once-canonicalized (idempotent) for real URLs
+    val real = Seq("https://Host.Example:443/a/b?x=1#f/")
+    val once = real.toDF("url").select(UrlDedup.canonicalCol(col("url"))).as[String].collect()
+    val twice = once.toSeq.toDF("url").select(UrlDedup.canonicalCol(col("url"))).as[String].collect()
+    assert(once.sameElements(twice))
+  }
+
   test("url dedup: every canonical group is exactly original + its variant") {
     import graft.operators.UrlDedup
     val extracted = SparkEntry.queries("extract_main")(spark, sf0001)
