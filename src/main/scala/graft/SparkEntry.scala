@@ -149,6 +149,33 @@ object SparkEntry {
       }),
       "stream_event_windows" -> ((s, dir) =>
         StreamingExtract.eventWindowCounts(s, dir)),
+      "stream_sessionize" -> ((s, dir) => {
+        // flatMapGroupsWithState gap sessionization: closed streaming
+        // sessions == batch q_sessionize minus each user's (still-open)
+        // last session — DuckDB recomputes that relationally
+        val eventsFile = s"$dir/events.parquet"
+        val f = new java.io.File(eventsFile)
+        val staged =
+          if (f.isDirectory) eventsFile
+          else {
+            val d = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+            java.nio.file.Files.copy(f.toPath, d.resolve("events.parquet"))
+            d.toString
+          }
+        val name = "stream_sessionize_" + java.lang.Long.toHexString(System.nanoTime())
+        graft.streaming.StreamingSessionize.runAvailableNow(s, staged, name)
+        val out = s.table(name)
+          .orderBy(col("user_id"), col("session_seq")).localCheckpoint()
+        s.catalog.dropTempView(name)
+        if (staged != eventsFile) {
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+            x.delete(): Unit
+          }
+          rm(new java.io.File(staged))
+        }
+        out
+      }),
       "stream_dedup_state" -> ((s, dir) => {
         // stateful streaming dedup (mapGroupsWithState): the corpus is
         // staged as 4 files and drained 2 files per micro-batch, so the
@@ -511,6 +538,27 @@ object SparkEntry {
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
       "dedup_exact" -> Dedup.dedupExactSql,
+      // streaming sessionization (gap-closed sessions only — no-data
+      // batch disabled): batch sessions minus each user's last
+      "stream_sessionize" ->
+        """WITH g AS (
+          | SELECT user_id, ts, event_id,
+          |  date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+          | FROM events),
+          |m AS (
+          | SELECT user_id, ts,
+          |  sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          | FROM g),
+          |sess AS (
+          | SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_seconds
+          | FROM m GROUP BY 1, 2)
+          |SELECT s.user_id, s.session_seq, s.n_events, s.duration_seconds
+          |FROM sess s JOIN (SELECT user_id, max(session_seq) AS mx FROM sess GROUP BY 1) x
+          |  ON x.user_id = s.user_id AND s.session_seq < x.mx
+          |ORDER BY s.user_id, s.session_seq""".stripMargin,
       // streaming stateful dedup == batch md5 group-by (running-min /
       // running-count updates make the fold batch-equivalent) over a
       // corpus with genuine exact duplicates
