@@ -283,6 +283,9 @@ object SparkEntry {
       "emb_quantize_stats" -> ((s, dir) => graft.operators.Quantize.quantizeStatsFrom(
         materialize(s, s"${oracleBase(dir)}/quantized")(
           graft.operators.Quantize.quantized(s, dir)))),
+      "emb_pq_stats" -> ((s, dir) => graft.operators.Pq.pqStatsFrom(
+        materialize(s, s"${oracleBase(dir)}/pq_pairs")(
+          graft.operators.Pq.pqPairs(s, dir)))),
       // ---- text analysis ----
       "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
@@ -497,6 +500,14 @@ object SparkEntry {
            |  row_number() OVER (PARTITION BY qid ORDER BY round(sim, 4) DESC, vec_id) AS rnk
            | FROM scored) t
            |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
+      // PQ: DuckDB recomputes the reconstruction fidelity itself from the
+      // materialized (original, reconstructed) pairs
+      "emb_pq_stats" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           | round(avg(list_cosine_similarity(e, recon)), 5) AS avg_cos_fidelity,
+           | round(min(list_cosine_similarity(e, recon)), 5) AS min_cos_fidelity,
+           | round(avg(len(e) * 32.0 / (${graft.operators.Pq.SubVectors} * 4.0)), 1) AS compression_ratio
+           |FROM ${rp("pq_pairs")}""".stripMargin,
       "emb_quantize_stats" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_vectors,
            | round(avg(cos_fidelity), 5) AS avg_cos_fidelity,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pq}
+
+/** Product quantization: deterministic codebooks, bounded codes, honest
+  * fidelity floors on the worst-case (random-direction) embeddings, and
+  * the end metric that matters — how much top-k recall survives scoring
+  * against 64×-compressed reconstructions.
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.{sf0001, spark}
+  import spark.implicits._
+
+  test("codebooks are bit-deterministic across trainings") {
+    val a = Pq.trainCodebooks(spark, sf0001)
+    val b = Pq.trainCodebooks(spark, sf0001)
+    assert(a.length == Pq.SubVectors)
+    a.zip(b).foreach { case (sa, sb) =>
+      sa.zip(sb).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    }
+    // subspace salts differ → codebooks differ across subspaces
+    assert(!a(0)(0).sameElements(a(1)(0)))
+  }
+
+  test("codes bounded, reconstruction fidelity above the worst-case floor") {
+    val pairs = Pq.pqPairs(spark, sf0001).cache()
+    try {
+      val badCodes = pairs.select(explode(col("codes")).as("c"))
+        .filter(col("c") < 0 || col("c") >= Pq.CodebookSize).count()
+      assert(badCodes == 0L)
+      val stats = Pq.pqStatsFrom(pairs)
+        .as[(Long, Double, Double, Double)].head()
+      assert(stats._1 == 500L)
+      // random-direction 64-dim data at 32 bits/vector: conservative floors
+      assert(stats._2 >= 0.6, s"avg cos fidelity ${stats._2}")
+      assert(stats._3 >= 0.45, s"min cos fidelity ${stats._3}")
+      assert(stats._4 == 64.0)
+    } finally { pairs.unpersist(): Unit }
+  }
+
+  test("recall@5: ADC-style scoring against reconstructions keeps useful recall") {
+    val pairs = Pq.pqPairs(spark, sf0001)
+      .select(col("vec_id"), col("e"), col("recon")).cache()
+    try {
+      val q = pairs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      def topk(scoreAgainst: String) = pairs.as("c")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", Dedup.dot(col(scoreAgainst), col("qe")) /
+          (Dedup.l2norm(col(scoreAgainst)) * Dedup.l2norm(col("qe"))))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"))
+      val exact = topk("e").as[(Long, Long)].collect().toSet
+      val viaPq = topk("recon").as[(Long, Long)].collect().toSet
+      val recall = (exact & viaPq).size.toDouble / exact.size
+      info(f"PQ recall@5 on random-direction embeddings: $recall%.2f")
+      assert(recall >= 0.2, f"recall $recall%.2f below floor")
+    } finally { pairs.unpersist(): Unit }
+  }
+}
