@@ -47,7 +47,7 @@ class PqSpec extends AnyFunSuite {
     try {
       val q = pairs.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("e").as("qe"))
-      def topk(scoreAgainst: String) = pairs.as("c")
+      def topk(scoreAgainst: String, k: Int) = pairs.as("c")
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("sim", Dedup.dot(col(scoreAgainst), col("qe")) /
@@ -55,13 +55,32 @@ class PqSpec extends AnyFunSuite {
         .withColumn("rnk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
             .orderBy(col("sim").desc, col("vec_id"))))
-        .filter(col("rnk") <= 5)
+        .filter(col("rnk") <= k)
         .select(col("qid"), col("vec_id"))
-      val exact = topk("e").as[(Long, Long)].collect().toSet
-      val viaPq = topk("recon").as[(Long, Long)].collect().toSet
+      val exact = topk("e", 5).as[(Long, Long)].collect().toSet
+      val viaPq = topk("recon", 5).as[(Long, Long)].collect().toSet
       val recall = (exact & viaPq).size.toDouble / exact.size
       info(f"PQ recall@5 on random-direction embeddings: $recall%.2f")
       assert(recall >= 0.2, f"recall $recall%.2f below floor")
+
+      // the production recipe (IVF-PQ + refine): PQ scores pick a top-20
+      // SHORTLIST, exact scores re-rank it — compressed scan, exact top-k
+      val shortlist = topk("recon", 20)
+      val reranked = shortlist
+        .join(pairs.select(col("vec_id"), col("e")), Seq("vec_id"))
+        .join(q, Seq("qid"))
+        .withColumn("sim", Dedup.dot(col("e"), col("qe")) /
+          (Dedup.l2norm(col("e")) * Dedup.l2norm(col("qe"))))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      val rerankRecall = (exact & reranked).size.toDouble / exact.size
+      info(f"PQ shortlist + exact re-rank recall@5: $rerankRecall%.2f")
+      assert(rerankRecall >= recall, "re-rank must not lose recall")
+      assert(rerankRecall >= 0.4, f"re-rank recall $rerankRecall%.2f below floor")
     } finally { pairs.unpersist(): Unit }
   }
 }
