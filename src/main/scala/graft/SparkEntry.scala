@@ -252,6 +252,25 @@ object SparkEntry {
           .select("url", "media_type", "n_bytes", "content_hash", "entropy_m",
             "width", "height", "decode_ok")),
       "mm_triage" -> ((s, dir) => Multimodal.mediaTriageFrom(mediaMetaMat(s, dir))),
+      // resize geometry: the typed map computes real aspect-correct thumb
+      // dims + exact-size buffers; DuckDB recomputes the geometry from
+      // the header dims it already has in media_meta (the fake-pixel
+      // bytes are spec-checked, not oracled)
+      "mm_thumbs" -> ((s, dir) => {
+        mediaMetaMat(s, dir) // ensure the oracle's media_meta input exists
+        Multimodal.mediaThumbs(s, dir).toDF()
+          .select(col("url"), col("fmt"), col("width"), col("height"),
+            col("thumb_w"), col("thumb_h"), length(col("thumb")).as("n_thumb_bytes"))
+          .orderBy(col("url"))
+      }),
+      // frame sampling: k evenly spaced offsets per payload; DuckDB
+      // recomputes the offsets from media_meta.n_bytes
+      "mm_frames" -> ((s, dir) => {
+        mediaMetaMat(s, dir)
+        Multimodal.frameSamples(s, dir).toDF()
+          .select(col("url"), col("n_bytes"), col("frame_no"), col("byte_off"))
+          .orderBy(col("url"), col("frame_no"))
+      }),
       // ---- dedup family ----
       "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
       "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
@@ -387,6 +406,22 @@ object SparkEntry {
       "mm_media_meta" ->
         s"""SELECT url, media_type, n_bytes, content_hash, entropy_m, width, height, decode_ok
            |FROM ${rp("media_meta")}""".stripMargin,
+      // DuckDB independently recomputes the resize geometry and the
+      // frame-sample offsets from the media_meta header dims / sizes
+      "mm_thumbs" ->
+        s"""SELECT url, media_type AS fmt, width, height,
+           | CAST(greatest(1, width * ${Multimodal.ThumbMax} // greatest(width, height)) AS INT) AS thumb_w,
+           | CAST(greatest(1, height * ${Multimodal.ThumbMax} // greatest(width, height)) AS INT) AS thumb_h,
+           | CAST(greatest(1, width * ${Multimodal.ThumbMax} // greatest(width, height)) *
+           |      greatest(1, height * ${Multimodal.ThumbMax} // greatest(width, height)) AS INT) AS n_thumb_bytes
+           |FROM ${rp("media_meta")}
+           |WHERE media_type IN ('png', 'jpg', 'gif', 'tiff', 'bmp') AND decode_ok
+           |ORDER BY url""".stripMargin,
+      "mm_frames" ->
+        s"""SELECT url, n_bytes, CAST(i AS INT) AS frame_no,
+           | CAST(i * n_bytes // ${Multimodal.FramesPerDoc} AS BIGINT) AS byte_off
+           |FROM ${rp("media_meta")}, (SELECT unnest([0, 1, 2, 3]) AS i) g
+           |WHERE n_bytes >= 16 ORDER BY url, frame_no""".stripMargin,
       "mm_triage" ->
         s"""SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
            | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

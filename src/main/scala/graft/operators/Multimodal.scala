@@ -105,4 +105,93 @@ object Multimodal {
         round(avg(col("entropy_m")) / 1000.0, 2).as("avg_entropy_bits"),
         countDistinct(col("content_hash")).as("n_distinct_payloads"))
       .orderBy(col("media_type"))
+
+  // ------------------------------------------------------------------
+  // Resize (thumbnail) plumbing
+  // ------------------------------------------------------------------
+
+  /** Thumbnail long edge (pixels). */
+  val ThumbMax = 8
+
+  final case class Thumb(
+      url: String, fmt: String, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
+
+  /** Resize plumbing over raster payloads: aspect-correct thumbnail
+    * dimensions computed from the REAL header-parsed width/height
+    * (integer math, long edge = ThumbMax, short edge floor-scaled with a
+    * 1px minimum), an exact-size grayscale output buffer, and a
+    * partition-preserving typed map — the schema, batch shape, and
+    * memory bound a production resize stage has.
+    *
+    * The PIXEL SOURCE is the documented codec seam: with no decoder in
+    * this container, each thumbnail byte is a DETERMINISTIC FAKE
+    * (xxhash64 of the payload hash and the pixel index) standing in for
+    * the resampled luma value. The resize GEOMETRY is real and is
+    * independently recomputed by the DuckDB oracle from the header dims.
+    */
+  private val RasterTypes = Set("png", "jpg", "gif", "tiff", "bmp")
+
+  def thumbOf(p: Page): Option[Thumb] = {
+    val b = if (p.html == null) Array.emptyByteArray else p.html
+    // gate on the SAME sniff as mediaMeta so thumbs and media_type can
+    // never disagree about what counts as a raster payload
+    val fmt = sniffType(b)
+    if (!RasterTypes(fmt)) None
+    else graft.kernel.ImageHeader.parse(b).map { d =>
+      val long = math.max(d.width, d.height)
+      val tw = math.max(1, d.width * ThumbMax / long)
+      val th = math.max(1, d.height * ThumbMax / long)
+      val seed = XxHash.hashBytes(b, 42L)
+      val px = new Array[Byte](tw * th)
+      var i = 0
+      while (i < px.length) {
+        // FAKE pixel: a codec would resample the decoded raster here
+        px(i) = (XxHash.hashBytes(Array(
+          (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), seed) & 0xff).toByte
+        i += 1
+      }
+      Thumb(p.url, fmt, d.width, d.height, tw, th, px)
+    }
+  }
+
+  /** Per-image thumbnails — narrow typed map, raster payloads only. */
+  def mediaThumbs(s: SparkSession, dir: String): Dataset[Thumb] = {
+    import s.implicits._
+    PageSynth.pages(s, dir).flatMap(thumbOf(_).iterator)
+  }
+
+  // ------------------------------------------------------------------
+  // Frame-sample plumbing
+  // ------------------------------------------------------------------
+
+  /** Frames sampled per payload (uniform temporal sampling shape). */
+  val FramesPerDoc = 4
+
+  final case class FrameSample(
+      url: String, n_bytes: Long, frame_no: Int, byte_off: Long, frame_hash: Long)
+
+  /** Frame-sample plumbing: for every payload large enough to play the
+    * "video" role, emit FramesPerDoc evenly spaced sample offsets
+    * (`floor(i * n / k)`) with a hash of a bounded byte window at each —
+    * the row-expansion shape of uniform video frame sampling, one
+    * output row per (payload, frame). A production build seeks a real
+    * container demuxer to these offsets; the offsets themselves are
+    * exact and independently recomputed by the DuckDB oracle.
+    */
+  def frameSamples(s: SparkSession, dir: String): Dataset[FrameSample] = {
+    import s.implicits._
+    PageSynth.pages(s, dir).flatMap { p =>
+      val b = if (p.html == null) Array.emptyByteArray else p.html
+      val n = b.length.toLong
+      if (n < 16) Iterator.empty
+      else (0 until FramesPerDoc).iterator.map { i =>
+        val off = i * n / FramesPerDoc
+        val win = math.min(64L, n - off).toInt
+        val h = XxHash.hashBytes(
+          java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + win), 7L)
+        FrameSample(p.url, n, i, off, h)
+      }
+    }
+  }
 }

@@ -260,6 +260,43 @@ class OperatorsSpec extends AnyFunSuite {
     } finally { c.unpersist(): Unit }
   }
 
+  // ---- multimodal resize / frame-sample plumbing ----
+
+  test("thumbs: aspect-correct geometry, exact buffers, deterministic fake pixels, rasters only") {
+    import graft.operators.Multimodal
+    val t1 = Multimodal.mediaThumbs(spark, sf0001).collect()
+    assert(t1.nonEmpty)
+    t1.foreach { t =>
+      assert(Set("png", "jpg", "gif", "tiff", "bmp")(t.fmt))
+      assert(t.thumb.length == t.thumb_w * t.thumb_h, t.url)
+      assert(math.max(t.thumb_w, t.thumb_h) == Multimodal.ThumbMax ||
+        math.min(t.thumb_w, t.thumb_h) == 1, t.url) // long edge pinned (or 1px floor)
+      // aspect preserved under integer floor
+      assert(t.thumb_w == math.max(1, t.width * Multimodal.ThumbMax / math.max(t.width, t.height)))
+      assert(t.thumb_h == math.max(1, t.height * Multimodal.ThumbMax / math.max(t.width, t.height)))
+    }
+    val t2 = Multimodal.mediaThumbs(spark, sf0001).collect()
+    assert(t1.map(t => (t.url, t.thumb.toSeq)).sortBy(_._1)
+      .sameElements(t2.map(t => (t.url, t.thumb.toSeq)).sortBy(_._1))) // fake decode is deterministic
+  }
+
+  test("frames: k evenly spaced in-bounds offsets per payload, deterministic window hashes") {
+    import graft.operators.Multimodal
+    val f1 = Multimodal.frameSamples(spark, sf0001).collect()
+    assert(f1.nonEmpty)
+    f1.groupBy(_.url).foreach { case (u, fs) =>
+      assert(fs.length == Multimodal.FramesPerDoc, u)
+      val sorted = fs.sortBy(_.frame_no)
+      sorted.foreach(f => assert(f.byte_off >= 0 && f.byte_off < f.n_bytes, u))
+      assert(sorted.map(_.byte_off).distinct.length == sorted.length ||
+        sorted.head.n_bytes < Multimodal.FramesPerDoc, u) // offsets distinct for non-tiny payloads
+    }
+    val h1 = f1.map(f => (f.url, f.frame_no) -> f.frame_hash).toMap
+    val h2 = Multimodal.frameSamples(spark, sf0001).collect()
+      .map(f => (f.url, f.frame_no) -> f.frame_hash).toMap
+    assert(h1 == h2)
+  }
+
   // ---- salted aggregation equivalence ----
 
   test("metricsByHost: salted two-phase agg equals naive groupBy") {
