@@ -593,9 +593,9 @@ object SparkEntry {
           | FROM events),
           |m AS (
           | SELECT user_id, ts,
-          |  sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+          |  CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
           |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
           | FROM g),
           |sess AS (
           | SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,

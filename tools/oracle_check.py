@@ -19,6 +19,30 @@ def table_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
+# The driver's hasher is dtype-sensitive (it hashes Arrow-typed values):
+# a DuckDB HUGEINT (arrow decimal128) vs a Spark BIGINT (int64) fails there
+# even when every value prints identically. Mirror that by comparing the
+# Arrow schema types per (name-sorted) column before the value comparison.
+def arrow_types(rel):
+    tbl = rel.arrow()
+    return {f.name: str(f.type) for f in tbl.schema}
+
+import re as _re
+
+def canon_type(t):
+    # Benign aliases the driver's hasher demonstrably accepts (all were
+    # hash-green in CORRECTNESS_r03): string/binary width variants and plain
+    # integer widths (int32 vs int64 both hash as integers). Integer vs
+    # decimal128 (DuckDB HUGEINT) is NOT benign — that's the skew class that
+    # made q_sessionize red at the driver while passing here.
+    t = t.replace('large_string', 'string').replace('large_list', 'list')
+    t = t.replace('large_binary', 'binary')
+    t = _re.sub(r'\b(u?int)(8|16|32|64)\b', 'int', t)
+    return t
+
+def compatible_type(a, b):
+    return canon_type(a) == canon_type(b)
+
 fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
@@ -29,6 +53,12 @@ for name in sorted(oracle):
         dcols, drows = [d[0] for d in duck_rel.description], duck_rel.fetchall()
         if sorted(scols) != sorted(dcols):
             print(f'FAIL {name}: cols {sorted(scols)} vs {sorted(dcols)}'); fails += 1; continue
+        stypes = arrow_types(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+        dtypes = arrow_types(con.sql(sql))
+        skew = {c: (stypes[c], dtypes[c]) for c in stypes
+                if not compatible_type(stypes[c], dtypes.get(c, ''))}
+        if skew:
+            print(f'FAIL {name}: dtype skew (spark vs oracle): {skew}'); fails += 1; continue
         sk, dk = table_key(srows, scols), table_key(drows, dcols)
         if len(sk) != len(dk):
             print(f'FAIL {name}: rows {len(sk)} vs {len(dk)}'); fails += 1; continue
