@@ -139,9 +139,12 @@ object Multimodal {
     val fmt = sniffType(b)
     if (!RasterTypes(fmt)) None
     else graft.kernel.ImageHeader.parse(b).map { d =>
-      val long = math.max(d.width, d.height)
-      val tw = math.max(1, d.width * ThumbMax / long)
-      val th = math.max(1, d.height * ThumbMax / long)
+      // Long arithmetic: header-claimed dims go up to Int.MaxValue, so
+      // width * ThumbMax overflows Int for widths > ~268M (DuckDB's oracle
+      // recompute is wider and would diverge on the overflowed geometry)
+      val long = math.max(d.width.toLong, d.height.toLong)
+      val tw = math.max(1L, d.width.toLong * ThumbMax / long).toInt
+      val th = math.max(1L, d.height.toLong * ThumbMax / long).toInt
       val seed = XxHash.hashBytes(b, 42L)
       val px = new Array[Byte](tw * th)
       var i = 0

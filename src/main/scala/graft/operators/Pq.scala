@@ -119,6 +119,11 @@ object Pq {
     val sample = e.filter(col("vec_id") % stride === 0)
       .as[(Long, Seq[Double])].collect()
       .sortBy(_._1).map(_._2.toArray)
+    // same guard as trainIvfCentroids: an empty table would throw at
+    // sample(0), and fewer samples than codes silently trains duplicate
+    // centroids — fail loudly instead
+    require(sample.length >= CodebookSize,
+      s"PQ training needs >= $CodebookSize sample vectors, got ${sample.length}")
     val dims = sample(0).length
     require(dims % SubVectors == 0, s"dims $dims not divisible by $SubVectors")
     val sd = dims / SubVectors

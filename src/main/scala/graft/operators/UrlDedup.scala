@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * must collapse to one canonical key before fetch scheduling and before
   * content dedup ever runs.
   *
-  * Canonical form: lowercase scheme and host, default port (:80/:443)
-  * stripped, query string and fragment dropped, trailing slashes
+  * Canonical form: lowercase scheme and host, the scheme's OWN default
+  * port stripped (:80 for http, :443 for https — http://host:443/x is a
+  * genuinely non-default port and stays distinct), query string and
+  * fragment dropped, trailing slashes
   * trimmed. All pieces are regexp_extract/regexp_replace WITHOUT
   * replacement backrefs, so java.util.regex and DuckDB's RE2 compute the
   * identical canonical string.
@@ -24,8 +26,10 @@ object UrlDedup {
   /** Canonical key of a URL (see object doc for the rules). */
   def canonicalCol(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)), ":(443|80)$", "")
+    val rawHost = lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
     val path = regexp_replace(
       regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
     concat(scheme, lit("://"), host, path)
@@ -70,13 +74,20 @@ object UrlDedup {
        |  WHEN length(url) % 4 = 2 THEN url || '/'
        |  ELSE regexp_replace(url, '^https://([^/]+)', 'https://\\1:443')
        | END AS url FROM urls),
+       |parts AS (
+       | SELECT url,
+       |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS rawhost,
+       |  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '') AS path
+       | FROM var),
        |canon AS (
        | SELECT url,
-       |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
-       |  regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(443|80)$$', '') ||
-       |  regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$$', '')
+       |  scheme || '://' ||
+       |  CASE WHEN scheme = 'http'  THEN regexp_replace(rawhost, ':80$$', '')
+       |       WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$$', '')
+       |       ELSE rawhost END || path
        |  AS canonical_url
-       | FROM var)
+       | FROM parts)
        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants, min(url) AS first_url
        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
 }

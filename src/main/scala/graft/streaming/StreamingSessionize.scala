@@ -49,7 +49,17 @@ object StreamingSessionize {
         else if (sec - cur.lastSec > GapSeconds) {
           out += Session(uid, cur.seq, cur.n, cur.lastSec - cur.startSec)
           cur = OpenSession(cur.seq + 1, sec, sec, ms, 1L)
-        } else cur = cur.copy(lastSec = sec, lastMs = ms, n = cur.n + 1)
+        } else {
+          // an event arriving out-of-order ACROSS micro-batches (sec <
+          // lastSec; within a batch we sort) folds into the open session
+          // without regressing its frontier — otherwise later gap
+          // decisions, the timeout timestamp, and durations would move
+          // backwards and diverge from the batch answer
+          cur = cur.copy(
+            lastSec = math.max(cur.lastSec, sec),
+            lastMs = math.max(cur.lastMs, ms),
+            n = cur.n + 1)
+        }
       }
       state.update(cur)
       // close the open session when the watermark passes its gap horizon

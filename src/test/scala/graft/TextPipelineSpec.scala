@@ -82,7 +82,11 @@ class TextPipelineSpec extends AnyFunSuite {
     val cases = Seq(
       "https://Host.Example/a/b" -> "https://host.example/a/b",
       "HTTPS://host.example:443/a/b" -> "https://host.example/a/b",
-      "https://host.example:80/a/b" -> "https://host.example/a/b",
+      "http://host.example:80/a/b" -> "http://host.example/a/b",
+      // default-port strip is scheme-conditional: :80 on https and :443 on
+      // http are genuinely non-default and must stay distinct
+      "https://host.example:80/a/b" -> "https://host.example:80/a/b",
+      "http://host.example:443/a/b" -> "http://host.example:443/a/b",
       "https://host.example:8080/a/b" -> "https://host.example:8080/a/b", // non-default port kept
       "https://host.example/a/b?utm_source=x&id=7" -> "https://host.example/a/b",
       "https://host.example/a/b#frag" -> "https://host.example/a/b",
