@@ -145,7 +145,7 @@ object Bench {
     val secondary = Seq(
       "q1_pricing_summary", "q3_top_revenue", "q_window_topk",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "ann_bruteforce", "ann_lsh", "text_stats", "text_quality",
+      "ann_bruteforce", "ann_lsh", "ann_ivfpq", "text_stats", "text_quality",
       "para_scrub", "text_repetition", "text_pii", "text_chunks",
       "text_lm_score", "q_asof_join", "q_sessionize")
     // The registered sketch queries materialize their signature stages
@@ -158,7 +158,11 @@ object Bench {
       "dedup_minhash_lsh" -> ((s, d) => graft.operators.Dedup.dedupMinhashLsh(s, d)),
       "dedup_simhash" -> ((s, d) => graft.operators.Dedup.dedupSimhash(s, d)),
       "ann_lsh" -> ((s, d) => graft.operators.Similarity.annLsh(s, d)),
-      "ann_ivf" -> ((s, d) => graft.operators.Similarity.annIvf(s, d)))
+      "ann_ivf" -> ((s, d) => graft.operators.Similarity.annIvf(s, d)),
+      "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.annIvfPqFrom(s, d,
+        graft.operators.Similarity.annIvfCells(s, d),
+        graft.operators.Similarity.annIvfProbes(s, d),
+        graft.operators.Pq.pqPairs(s, d))))
     val queryTimes = secondary.map { name =>
       val fn = rawOps.getOrElse(name, SparkEntry.queries(name))
       // warm-up excludes JIT (matches the extract pass methodology)
@@ -174,9 +178,9 @@ object Bench {
     // corpus (not the small documents table) with planted near-dups —
     // measures candidate-set growth, verify cost, and planted-pair recall
     // at the scale the extraction stage actually emits ----
-    val (dedupDocs, dedupPlanted, dedupCandidates, dedupPairs, dedupRecall, dedupSec) =
+    val (dedupDocs, dedupPlanted, dedupCandidates, dedupPairs, dedupRecall, dedupRepSecs) =
       if (sys.env.getOrElse("SPARK_GRAFT_DEDUP_BENCH", "1") == "0")
-        (0L, 0L, -1L, 0L, -1.0, 0.0)
+        (0L, 0L, -1L, 0L, -1.0, Seq(0.0))
       else {
         // Input: 160k GENUINELY DISTINCT extracted docs. The headline
         // corpus replicates each doc verbatim — near-dedup on it measures
@@ -229,12 +233,24 @@ object Bench {
             greatest(col("ha"), col("hb")).as("id_b"))
           .localCheckpoint()
         val nPlanted = wantPairs.count()
-        val ((nPairs: Long, nFound: Long), tDedup) = timed {
-          val got = Dedup.minhashLshPairsFrom(sHi, ids).localCheckpoint()
-          (got.count(), wantPairs.join(got, Seq("id_a", "id_b"), "left_semi").count())
+        // best-of-N like the extract pass: the driver's seat saw a 5×
+        // spread on this block across rounds (same code, same recall) —
+        // host noise plus ~8 s of fixed job-launch cost per run. Every
+        // rep recomputes the full signature→band→verify chain; per-rep
+        // times are reported alongside the min so variance is visible.
+        val dedupReps = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", reps.toString).toInt
+        var nPairs = 0L
+        var nFound = 0L
+        val repSecs = (1 to dedupReps).map { _ =>
+          val ((p: Long, f: Long), t) = timed {
+            val got = Dedup.minhashLshPairsFrom(sHi, ids).localCheckpoint()
+            (got.count(), wantPairs.join(got, Seq("id_a", "id_b"), "left_semi").count())
+          }
+          nPairs = p; nFound = f
+          t
         }
         (nDocsD, nPlanted, Dedup.MinhashCandidates.get, nPairs,
-          if (nPlanted > 0) nFound.toDouble / nPlanted else -1.0, tDedup)
+          if (nPlanted > 0) nFound.toDouble / nPlanted else -1.0, repSecs)
       }
     sHi.stop()
 
@@ -262,7 +278,8 @@ object Bench {
         s""""dedup_scale_docs":$dedupDocs,"dedup_scale_candidates":$dedupCandidates,""" +
         s""""dedup_scale_pairs":$dedupPairs,"dedup_scale_planted":$dedupPlanted,""" +
         s""""dedup_scale_planted_recall":${f"$dedupRecall%.3f"},""" +
-        s""""dedup_scale_sec":${f"$dedupSec%.3f"}}"""
+        s""""dedup_scale_sec":${f"${dedupRepSecs.min}%.3f"},""" +
+        s""""dedup_scale_reps_sec":${dedupRepSecs.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
     // Durable copy: round 1's JSON was buried in the sbt log tail and the
     // driver's parse came back null — write it to a stable file too
     // (SPARK_GRAFT_BENCH_OUT overrides; default sits next to the repo docs).

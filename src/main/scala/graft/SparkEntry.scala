@@ -299,6 +299,14 @@ object SparkEntry {
       "ann_ivf" -> ((s, dir) => Similarity.annIvfFrom(s, dir,
         materialize(s, s"${oracleBase(dir)}/annivf_cells")(Similarity.annIvfCells(s, dir)),
         materialize(s, s"${oracleBase(dir)}/annivf_probes")(Similarity.annIvfProbes(s, dir)))),
+      // the full IVF-PQ retrieval leg (ADC shortlist from PQ codes +
+      // exact re-rank) — reuses the ann_ivf and emb_pq_stats
+      // materializations, so the index builds once per Verify
+      "ann_ivfpq" -> ((s, dir) => Similarity.annIvfPqFrom(s, dir,
+        materialize(s, s"${oracleBase(dir)}/annivf_cells")(Similarity.annIvfCells(s, dir)),
+        materialize(s, s"${oracleBase(dir)}/annivf_probes")(Similarity.annIvfProbes(s, dir)),
+        materialize(s, s"${oracleBase(dir)}/pq_pairs")(
+          graft.operators.Pq.pqPairs(s, dir)))),
       "emb_quantize_stats" -> ((s, dir) => graft.operators.Quantize.quantizeStatsFrom(
         materialize(s, s"${oracleBase(dir)}/quantized")(
           graft.operators.Quantize.quantized(s, dir)))),
@@ -530,6 +538,37 @@ object SparkEntry {
            |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
            | FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
            |           JOIN embeddings q ON q.vec_id = cand.qid)
+           |SELECT qid, vec_id AS nid, rnk FROM (
+           | SELECT qid, vec_id,
+           |  row_number() OVER (PARTITION BY qid ORDER BY round(sim, 4) DESC, vec_id) AS rnk
+           | FROM scored) t
+           |WHERE rnk <= ${Similarity.TopK} ORDER BY qid, rnk""".stripMargin,
+      // IVF-PQ retrieval: DuckDB re-derives the ADC shortlist by scoring
+      // the SAME probed candidates against their PQ reconstructions
+      // (list_cosine on recon == the ADC code-table sum, up to fold
+      // order), then re-ranks the shortlist with exact cosine — the whole
+      // two-stage retrieval cross-engine-verified
+      "ann_ivfpq" ->
+        s"""WITH cand AS (
+           | SELECT DISTINCT p.qid, c.vec_id
+           | FROM ${rp("annivf_cells")} c
+           | JOIN ${rp("annivf_probes")} p ON c.cell = p.cell
+           | WHERE c.vec_id <> p.qid),
+           |adc AS (
+           | SELECT cand.qid, cand.vec_id,
+           |  list_cosine_similarity(pq.recon, CAST(q.embedding AS DOUBLE[])) AS asim
+           | FROM cand JOIN ${rp("pq_pairs")} pq ON pq.vec_id = cand.vec_id
+           |           JOIN embeddings q ON q.vec_id = cand.qid),
+           |short AS (
+           | SELECT qid, vec_id FROM (
+           |  SELECT qid, vec_id,
+           |   row_number() OVER (PARTITION BY qid ORDER BY round(asim, 4) DESC, vec_id) AS srnk
+           |  FROM adc) t WHERE srnk <= ${Similarity.PqShortlist}),
+           |scored AS (
+           | SELECT short.qid, short.vec_id,
+           |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+           | FROM short JOIN embeddings e ON e.vec_id = short.vec_id
+           |            JOIN embeddings q ON q.vec_id = short.qid)
            |SELECT qid, vec_id AS nid, rnk FROM (
            | SELECT qid, vec_id,
            |  row_number() OVER (PARTITION BY qid ORDER BY round(sim, 4) DESC, vec_id) AS rnk

@@ -340,6 +340,93 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ retrieval: ADC shortlist + exact re-rank
+  // ------------------------------------------------------------------
+
+  /** ADC shortlist depth per query (candidates kept for exact re-rank). */
+  val PqShortlist = 20
+
+  /** The full FAISS-style IVF-PQ retrieval leg: queries probe their IVF
+    * cells (annIvfProbes), candidates in those cells are scored
+    * APPROXIMATELY from their PQ codes via ADC (asymmetric distance
+    * computation: per query, a SubVectors × CodebookSize lookup table of
+    * sub-dot-products against the broadcast codebooks is built once, then
+    * each candidate costs SubVectors table lookups — never touching the
+    * float corpus), the top `PqShortlist` per query survive, and ONLY
+    * those fetch their exact vectors for the final exact cosine top-k.
+    *
+    * Shape at 10^9+ vectors: the corpus is stored as 32-bit PQ codes
+    * partitioned by IVF cell (64× smaller than float32), the ADC scan is
+    * a narrow map over broadcast codebooks + broadcast queries, and the
+    * exact-vector fetch is bounded by PqShortlist × queries rows. The
+    * materialized pq_pairs frame carries `recon` alongside `codes` so the
+    * DuckDB oracle can re-score the SAME candidates with its own cosine
+    * (ADC dot over codes == dot against the decoded reconstruction, up to
+    * float fold order — ranks are compared on round(·, 4)).
+    */
+  def annIvfPqFrom(s: SparkSession, dir: String,
+      corpusCells: DataFrame, probeCells: DataFrame, pqPairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val (q, e) = queriesAndCorpus(s, dir)
+    // retraining is deterministic (same id-stride sample, same seeds), so
+    // these are the codebooks that produced the materialized codes
+    val books = Pq.trainCodebooks(s, dir)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val cand = corpusCells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .distinct()
+    val withCodes = cand
+      .join(pqPairs.select(col("vec_id"), col("codes")), Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("codes"), col("qe"), col("qn"))
+      .as[(Long, Long, Seq[Int], Seq[Double], Double)]
+    val adc = withCodes.mapPartitions { it =>
+      val bks = bcBooks.value
+      val subs = bks.length
+      val codesPerSub = bks(0).length
+      val sd = bks(0)(0).length
+      // codeword squared norms are query-independent: computed once per task
+      val normSq = Array.tabulate(subs, codesPerSub) { (m, c) =>
+        var s2 = 0.0; var i = 0
+        while (i < sd) { val t = bks(m)(c)(i); s2 += t * t; i += 1 }
+        s2
+      }
+      // one LUT per distinct query seen in this partition (subs × 16
+      // doubles each — bounded by the broadcast query count, not the corpus)
+      val luts = scala.collection.mutable.HashMap.empty[Long, Array[Array[Double]]]
+      it.map { case (qid, vid, codes, qe, qn) =>
+        val lut = luts.getOrElseUpdate(qid, {
+          val qa = qe.toArray
+          Array.tabulate(subs, codesPerSub) { (m, c) =>
+            var d = 0.0; var i = 0
+            while (i < sd) { d += qa(m * sd + i) * bks(m)(c)(i); i += 1 }
+            d
+          }
+        })
+        var dot = 0.0; var n2 = 0.0; var m = 0
+        while (m < subs) { val c = codes(m); dot += lut(m)(c); n2 += normSq(m)(c); m += 1 }
+        (qid, vid, dot / (math.sqrt(n2) * qn))
+      }
+    }.toDF("qid", "vec_id", "asim")
+    // quantized rank ordering — see annBruteForce for the rationale
+    val ws = Window.partitionBy(col("qid")).orderBy(round(col("asim"), 4).desc, col("vec_id"))
+    val short = adc
+      .withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(round(col("sim"), 4).desc, col("vec_id"))
+    short
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))), Seq("qid"))
+      .withColumn("sim", Dedup.dot(col("e"), col("qe")) / (col("nrm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Approximate top-k via (k=8 bits, L=8 tables) random-hyperplane LSH
     * with 1-bit multi-probe on the query side.
     *

@@ -83,4 +83,38 @@ class PqSpec extends AnyFunSuite {
       assert(rerankRecall >= 0.4, f"re-rank recall $rerankRecall%.2f below floor")
     } finally { pairs.unpersist(): Unit }
   }
+
+  test("ann_ivfpq: registered IVF+ADC+re-rank query keeps recall vs brute force") {
+    val exact = SparkEntry.queries("ann_bruteforce")(spark, sf0001)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    val ivfpq = SparkEntry.queries("ann_ivfpq")(spark, sf0001)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    // exactly TopK rows per query survive the two-stage retrieval
+    assert(ivfpq.groupBy(_._1).forall(_._2.size == graft.operators.Similarity.TopK))
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"ann_ivfpq recall@5 vs brute force (random-direction worst case): $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor") // measured 0.68
+  }
+
+  test("ADC lookup-table scoring equals cosine against the decoded reconstruction") {
+    // the LUT sum over codes must be the same number (up to fold order) as
+    // dot(recon, q) — i.e. ADC really is scoring against the codebook decode
+    val books = Pq.trainCodebooks(spark, sf0001)
+    val sd = books(0)(0).length
+    val rows = Pq.pqPairs(spark, sf0001)
+      .select(col("vec_id"), col("recon"), col("codes"))
+      .as[(Long, Seq[Double], Seq[Int])].head(20)
+    val q = Array.tabulate(Pq.SubVectors * sd)(i => math.sin(i + 1.0)) // arbitrary fixed query
+    rows.foreach { case (_, recon, codes) =>
+      var lutDot = 0.0
+      var m = 0
+      while (m < Pq.SubVectors) {
+        var d = 0.0; var i = 0
+        while (i < sd) { d += q(m * sd + i) * books(m)(codes(m))(i); i += 1 }
+        lutDot += d; m += 1
+      }
+      val direct = recon.toArray.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(lutDot - direct) < 1e-9, s"$lutDot vs $direct")
+    }
+  }
 }
