@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * a 100 TB media crawl partitions and filters on before spending decode
   * cycles.
   *
-  * The remaining seam: full PIXEL decode (raster data, audio samples,
-  * video frames) needs a codec this container doesn't ship — a real build
-  * plugs a JNI/FFI codec or a Pandas UDF over mapInPandas into the same
-  * typed map. Dimensions and decode_ok are already real, from the header.
+  * Pixel decode: PNG and BMP decode for REAL (kernel.PixelDecode — the
+  * JDK ships zlib), so their thumbnails are genuine resampled luma. The
+  * remaining seam is jpg/gif/tiff pixels (and audio samples / video
+  * frames), which need a codec this container doesn't ship — a real
+  * build plugs a JNI/FFI codec or a Pandas UDF over mapInPandas into
+  * the same typed map. Dimensions and decode_ok are real for all five
+  * raster formats, from the header.
   */
 object Multimodal {
 
@@ -124,11 +127,14 @@ object Multimodal {
     * partition-preserving typed map — the schema, batch shape, and
     * memory bound a production resize stage has.
     *
-    * The PIXEL SOURCE is the documented codec seam: with no decoder in
-    * this container, each thumbnail byte is a DETERMINISTIC FAKE
-    * (xxhash64 of the payload hash and the pixel index) standing in for
-    * the resampled luma value. The resize GEOMETRY is real and is
-    * independently recomputed by the DuckDB oracle from the header dims.
+    * PIXEL SOURCE: PNG and BMP payloads decode for REAL
+    * (kernel.PixelDecode — pure-JVM zlib + PNG filters / raw BMP rows)
+    * and the thumbnail is genuine box-resampled BT.601 luma. The
+    * remaining codec seam is jpg/gif/tiff (plus out-of-scope PNG/BMP
+    * variants): those get a DETERMINISTIC FAKE byte (xxhash64 of the
+    * payload hash and pixel index) standing in for the resampled value.
+    * The resize GEOMETRY is real for every format and is independently
+    * recomputed by the DuckDB oracle from the header dims.
     */
   private val RasterTypes = Set("png", "jpg", "gif", "tiff", "bmp")
 
@@ -145,14 +151,23 @@ object Multimodal {
       val long = math.max(d.width.toLong, d.height.toLong)
       val tw = math.max(1L, d.width.toLong * ThumbMax / long).toInt
       val th = math.max(1L, d.height.toLong * ThumbMax / long).toInt
-      val seed = XxHash.hashBytes(b, 42L)
-      val px = new Array[Byte](tw * th)
-      var i = 0
-      while (i < px.length) {
-        // FAKE pixel: a codec would resample the decoded raster here
-        px(i) = (XxHash.hashBytes(Array(
-          (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), seed) & 0xff).toByte
-        i += 1
+      // real decode where the JDK suffices (png/bmp); decoded dims must
+      // agree with the header or the payload is treated as undecodable
+      val px = graft.kernel.PixelDecode.decodeLuma(b) match {
+        case Some(img) if img.width == d.width && img.height == d.height =>
+          graft.kernel.PixelDecode.boxResample(img, tw, th)
+        case _ =>
+          val seed = XxHash.hashBytes(b, 42L)
+          val fake = new Array[Byte](tw * th)
+          var i = 0
+          while (i < fake.length) {
+            // FAKE pixel — the jpg/gif/tiff codec seam: a codec would
+            // resample the decoded raster here
+            fake(i) = (XxHash.hashBytes(Array(
+              (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), seed) & 0xff).toByte
+            i += 1
+          }
+          fake
       }
       Thumb(p.url, fmt, d.width, d.height, tw, th, px)
     }

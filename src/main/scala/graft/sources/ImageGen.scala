@@ -1,13 +1,15 @@
 package graft.sources
 
-/** Deterministic raster-image FIXTURE builders: minimal container headers
-  * carrying real width/height, for exercising kernel.ImageHeader, the
-  * resolution-cap validation (API.md:473), and the multimodal metadata
-  * path. Headers are spec-faithful (PNG CRCs are real CRC32s, JPEG is a
-  * valid SOI→APP0→SOF0→EOI marker walk, TIFF is a well-formed IFD) but
-  * carry no pixel payload — these are header fixtures for an engine whose
-  * decode seam is the header (Multimodal scaladoc), not image files a
-  * viewer would open.
+/** Deterministic raster-image FIXTURE builders. Two families:
+  *
+  *   - HEADER fixtures (`png`/`jpeg`/`tiff`/`bmp`): minimal spec-faithful
+  *     container headers carrying real width/height (PNG CRCs are real
+  *     CRC32s, JPEG is a valid SOI→APP0→SOF0→EOI marker walk, TIFF a
+  *     well-formed IFD) with no pixel payload — for kernel.ImageHeader,
+  *     the resolution-cap validation (API.md:473), and metadata triage.
+  *   - REAL-PIXEL fixtures (`pngReal`/`bmpReal`): complete images a
+  *     viewer would open, with caller-supplied deterministic pixels —
+  *     for kernel.PixelDecode and the real-thumbnail path.
   */
 object ImageGen {
 
@@ -68,6 +70,92 @@ object ImageGen {
     putLe16(b, 26, 1)  // planes
     putLe16(b, 28, 24) // bpp
     b
+  }
+
+  // ------------------------------------------------------------------
+  // Real-pixel fixtures (for kernel.PixelDecode and the real-thumbnail
+  // path): spec-complete images a standard viewer would open.
+  // ------------------------------------------------------------------
+
+  /** Real-pixel PNG: 8-bit truecolor (color type 2), filter-0 rows, one
+    * zlib-deflated IDAT. `px(x, y)` supplies (r, g, b).
+    */
+  def pngReal(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      val ro = y * (1 + w * 3)
+      raw(ro) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        raw(ro + 1 + x * 3) = r.toByte
+        raw(ro + 2 + x * 3) = g.toByte
+        raw(ro + 3 + x * 3) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w)
+    putBe32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // truecolor
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", deflate(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real-pixel BMP: 24-bpp uncompressed BITMAPINFOHEADER, 4-byte-padded
+    * rows, bottom-up unless `topDown`. `px(x, y)` supplies (r, g, b) in
+    * IMAGE orientation (y = 0 is the top row).
+    */
+  def bmpReal(w: Int, h: Int, topDown: Boolean = false)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val b = new Array[Byte](54 + stride * h)
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(b, 2, b.length)
+    putLe32(b, 10, 54) // pixel-data offset
+    putLe32(b, 14, 40) // BITMAPINFOHEADER
+    putLe32(b, 18, w)
+    putLe32(b, 22, if (topDown) -h else h)
+    putLe16(b, 26, 1)  // planes
+    putLe16(b, 28, 24) // bpp
+    // compression already 0 (BI_RGB)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val ro = 54 + fileRow * stride
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = px(x, y)
+        b(ro + x * 3) = bl.toByte     // BGR order
+        b(ro + x * 3 + 1) = g.toByte
+        b(ro + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally d.end()
   }
 
   private def putEntry(b: Array[Byte], off: Int, tag: Int, v: Int): Unit = {

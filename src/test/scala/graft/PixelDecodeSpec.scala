@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.PixelDecode
+import graft.model.Page
+import graft.operators.Multimodal
+import graft.sources.ImageGen
+
+/** Real pixel decode (PNG via Inflater + the five scanline filters, BMP
+  * raw rows) and the real-thumbnail path it feeds: decoded luma must
+  * match the generator formula EXACTLY, thumbnails must be the exact
+  * integer box-mean of the decoded image, and every malformed /
+  * out-of-scope payload must fall back (never throw).
+  */
+class PixelDecodeSpec extends AnyFunSuite {
+
+  private def gradient(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 7 + y * 13) & 0xff, (x * 3 + 1) & 0xff, (y * 5 + 2) & 0xff)
+
+  test("PNG real-pixel round-trip: luma equals the BT.601 of the generated pixels") {
+    val (w, h) = (23, 17) // odd sizes exercise non-aligned rows
+    val png = ImageGen.pngReal(w, h)(gradient)
+    val img = PixelDecode.decodeLuma(png).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = gradient(x, y)
+      assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b), s"($x,$y)")
+    }
+  }
+
+  test("PNG: all five scanline filters reconstruct exactly") {
+    // hand-build a 4x5 RGB png whose rows use filters 0..4 — forward-filter
+    // here, decode must invert
+    val (w, h) = (4, 5)
+    val bpp = 3
+    val rows = Array.tabulate(h, w * bpp)((y, i) => ((y * 31 + i * 17 + 5) & 0xff).toByte)
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + w * bpp)) = ft.toByte
+      for (i <- 0 until w * bpp) {
+        val x = rows(y)(i) & 0xff
+        val a = if (i >= bpp) rows(y)(i - bpp) & 0xff else 0
+        val b = if (y > 0) rows(y - 1)(i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) rows(y - 1)(i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + w * bpp) + 1 + i) = f.toByte
+      }
+    }
+    val png = buildPng(w, h, colorType = 2, raw)
+    val img = PixelDecode.decodeLuma(png).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = x * bpp
+      val want = PixelDecode.luma601(
+        rows(y)(i) & 0xff, rows(y)(i + 1) & 0xff, rows(y)(i + 2) & 0xff)
+      assert((img.luma(y * w + x) & 0xff) == want, s"($x,$y) filter ${y % 5}")
+    }
+  }
+
+  test("PNG: grayscale and palette color types decode") {
+    // color type 0 (grayscale): luma IS the sample
+    val (w, h) = (6, 3)
+    val grayRaw = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h) {
+      grayRaw(y * (1 + w)) = 0
+      for (x <- 0 until w) grayRaw(y * (1 + w) + 1 + x) = ((x * 40 + y * 9) & 0xff).toByte
+    }
+    val gray = PixelDecode.decodeLuma(buildPng(w, h, colorType = 0, grayRaw)).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert((gray.luma(y * w + x) & 0xff) == ((x * 40 + y * 9) & 0xff))
+    // color type 3 (palette): luma via PLTE lookup
+    val palette = Array.tabulate(4 * 3)(i => ((i * 37 + 11) & 0xff).toByte)
+    val palRaw = new Array[Byte](h * (1 + w))
+    for (y <- 0 until h) {
+      palRaw(y * (1 + w)) = 0
+      for (x <- 0 until w) palRaw(y * (1 + w) + 1 + x) = ((x + y) % 4).toByte
+    }
+    val pal = PixelDecode.decodeLuma(buildPng(w, h, colorType = 3, palRaw, Some(palette))).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val pi = ((x + y) % 4) * 3
+      val want = PixelDecode.luma601(
+        palette(pi) & 0xff, palette(pi + 1) & 0xff, palette(pi + 2) & 0xff)
+      assert((pal.luma(y * w + x) & 0xff) == want, s"($x,$y)")
+    }
+  }
+
+  test("BMP real-pixel round-trip: bottom-up and top-down, padded rows") {
+    for (topDown <- Seq(false, true)) {
+      val (w, h) = (5, 4) // 3*5=15 bytes/row → 1-byte pad exercises stride
+      val bmp = ImageGen.bmpReal(w, h, topDown)(gradient)
+      val img = PixelDecode.decodeLuma(bmp).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = gradient(x, y)
+        assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b),
+          s"($x,$y) topDown=$topDown")
+      }
+    }
+  }
+
+  test("thumbOf: PNG/BMP thumbnails are the exact box-mean of the real pixels") {
+    val (w, h) = (40, 24)
+    for (payload <- Seq(ImageGen.pngReal(w, h)(gradient), ImageGen.bmpReal(w, h)(gradient))) {
+      val t = Multimodal.thumbOf(Page("img://x", null, payload, "", "en")).get
+      assert(t.thumb_w == Multimodal.ThumbMax)
+      assert(t.thumb_h == h * Multimodal.ThumbMax / w)
+      val img = PixelDecode.decodeLuma(payload).get
+      val want = PixelDecode.boxResample(img, t.thumb_w, t.thumb_h)
+      assert(t.thumb.sameElements(want), t.fmt)
+      // box-mean sanity, independent of boxResample: each thumb pixel lies
+      // within the [min, max] luma of the whole source
+      val lumas = img.luma.map(_ & 0xff)
+      t.thumb.foreach(p => assert((p & 0xff) >= lumas.min && (p & 0xff) <= lumas.max))
+    }
+  }
+
+  test("out-of-scope and malformed payloads fall back, never throw") {
+    // header-only fixture (no IDAT): undecodable → thumbOf still yields the
+    // deterministic fake with correct geometry
+    val headerOnly = ImageGen.png(40, 30)
+    assert(PixelDecode.decodeLuma(headerOnly).isEmpty)
+    val t = Multimodal.thumbOf(Page("img://h", null, headerOnly, "", "en")).get
+    assert(t.thumb.length == t.thumb_w * t.thumb_h)
+    val t2 = Multimodal.thumbOf(Page("img://h", null, headerOnly, "", "en")).get
+    assert(t.thumb.sameElements(t2.thumb)) // fake is deterministic
+    // truncated IDAT
+    val real = ImageGen.pngReal(20, 20)(gradient)
+    assert(PixelDecode.decodeLuma(real.dropRight(24)).isEmpty)
+    // garbage bytes with a valid signature
+    val junk = real.clone(); for (i <- 40 until junk.length) junk(i) = 0x55
+    PixelDecode.decodeLuma(junk) // must not throw (result irrelevant)
+    // dims above the resolution cap are not decoded (buffer bound)
+    val bigHdr = ImageGen.bmp(5000, 5000)
+    assert(PixelDecode.decodeLuma(bigHdr).isEmpty)
+    // non-raster
+    assert(PixelDecode.decodeLuma("hello".getBytes("UTF-8")).isEmpty)
+    assert(PixelDecode.decodeLuma(null).isEmpty)
+  }
+
+  /** Minimal PNG writer for hand-filtered raw bytes (CRCs real — the
+    * decoder ignores them, but the fixture stays a valid file).
+    */
+  private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      palette: Option[Array[Byte]] = None): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length), 0, 4)
+      val kb = kind.getBytes("US-ASCII")
+      out.write(kb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(kb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    chunk("IHDR", ihdr)
+    palette.foreach(chunk("PLTE", _))
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](65536)
+    val comp = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", comp.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
