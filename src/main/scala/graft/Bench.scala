@@ -252,6 +252,32 @@ object Bench {
         (nDocsD, nPlanted, Dedup.MinhashCandidates.get, nPairs,
           if (nPlanted > 0) nFound.toDouble / nPlanted else -1.0, repSecs)
       }
+    // ---- skew evidence: the salted two-phase per-host agg must cost the
+    // same whether hosts are uniform or one host owns ~90% of the corpus
+    // (Common-Crawl reality). Same extracted frame, urls rewritten so 9/10
+    // rows share one hot host; both timings are best-of-N over the SAME
+    // row count, so the ratio isolates the skew effect. ----
+    val (skewHotSec, skewUniformSec) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SKEW_BENCH", "1") == "0") (0.0, 0.0)
+      else {
+        import sHi.implicits._
+        val ex = ExtractJob
+          .extract(sHi, sHi.read.parquet(pagesDir).as[graft.model.Page], buckets = 256)
+          .toDF().localCheckpoint()
+        val hot = ex.withColumn("url",
+          when(pmod(xxhash64(col("url")), lit(10L)) < 9,
+            regexp_replace(col("url"), "^https?://[^/]+/", "https://hothost.example/"))
+            .otherwise(col("url")))
+        def runAgg(df: org.apache.spark.sql.DataFrame): Unit = {
+          ExtractJob.metricsByHost(df.as[graft.model.Extracted])
+            .agg(count(lit(1)), sum(col("doc_count"))).collect()
+          ()
+        }
+        runAgg(ex); runAgg(hot) // warmup
+        val tU = (1 to reps).map(_ => timed(runAgg(ex))._2).min
+        val tH = (1 to reps).map(_ => timed(runAgg(hot))._2).min
+        (tH, tU)
+      }
     sHi.stop()
 
     def rmrf(p: java.io.File): Unit = {
@@ -279,7 +305,9 @@ object Bench {
         s""""dedup_scale_pairs":$dedupPairs,"dedup_scale_planted":$dedupPlanted,""" +
         s""""dedup_scale_planted_recall":${f"$dedupRecall%.3f"},""" +
         s""""dedup_scale_sec":${f"${dedupRepSecs.min}%.3f"},""" +
-        s""""dedup_scale_reps_sec":${dedupRepSecs.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+        s""""dedup_scale_reps_sec":${dedupRepSecs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""skew_hot_host_sec":${f"$skewHotSec%.3f"},""" +
+        s""""skew_uniform_host_sec":${f"$skewUniformSec%.3f"}}"""
     // Durable copy: round 1's JSON was buried in the sbt log tail and the
     // driver's parse came back null — write it to a stable file too
     // (SPARK_GRAFT_BENCH_OUT overrides; default sits next to the repo docs).

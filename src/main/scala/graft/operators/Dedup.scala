@@ -34,6 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lineage truncation for iterative/multi-consumer frames. Local mode
+    * (default): `localCheckpoint` — executor-memory blocks, fastest, but
+    * an executor loss mid-loop kills the job. Cluster runs set
+    * `spark.graft.reliableCheckpoints=true` (plus
+    * `SparkContext.setCheckpointDir` on durable storage) to use reliable
+    * `checkpoint()` instead: blocks persist to the checkpoint FS and
+    * survive executor loss — the right trade at 100× scale, where the
+    * label-propagation loop and the LSH materializations outlive the
+    * MTBF of any single executor.
+    */
+  private[graft] def truncate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.getOption("spark.graft.reliableCheckpoints").exists(_.toBoolean)) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.reliableCheckpoints=true requires SparkContext.setCheckpointDir")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   val JaccardThreshold = 0.6
 
   /** Bucket-cap drop counter: when LSH banding drops an over-cap bucket
@@ -304,7 +323,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
-      .localCheckpoint()
+      .transform(truncate)
     recordDropsFrom(MinhashDrops, dropObs) // metrics rode the checkpoint job
     val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     val candObs = org.apache.spark.sql.Observation()
@@ -317,7 +336,7 @@ object Dedup {
       .observe(candObs, count(lit(1)).as("n_candidates"))
       // the candidate set is consumed three times below (doc gate + both
       // sides of the verify join) — materialize it once, it's tiny
-      .localCheckpoint()
+      .transform(truncate)
     MinhashCandidates.set(candObs.get("n_candidates").asInstanceOf[Long])
     // exact verify on candidates only: shingles exploded JUST for docs
     // appearing in some candidate pair (broadcast semi-join gate)
@@ -353,7 +372,8 @@ object Dedup {
     * itself; every round, each node takes the min label among itself and
     * its neighbors; converges in O(component diameter) rounds (near-dup
     * clusters are shallow — diameter 2-3 in practice). Each round is one
-    * shuffle; `localCheckpoint` truncates the growing plan so round N
+    * shuffle; `truncate` (localCheckpoint, or reliable checkpoint under
+    * `spark.graft.reliableCheckpoints`) cuts the growing plan so round N
     * doesn't recompute rounds 1..N-1. Deterministic: labels are min doc
     * ids, independent of execution order.
     */
@@ -364,10 +384,10 @@ object Dedup {
     val bidir = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(truncate)
     var labels = bidir.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(truncate)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -375,7 +395,7 @@ object Dedup {
         .select(col("v").as("node"), col("l.label").as("label"))
         .unionAll(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .transform(truncate)
       converged = prop.as("p")
         .join(labels.as("o"), col("p.node") === col("o.node"))
         .filter(col("p.label") =!= col("o.label"))
@@ -483,7 +503,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
       .filter(size(col("ids")) >= 2)
       .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
-      .localCheckpoint()
+      .transform(truncate)
     recordDropsFrom(SimhashDrops, dropObs)
     val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     byBucket

@@ -67,4 +67,33 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(full.count() == 40L * 39 / 2)
     assert(Dedup.MinhashDrops.droppedBuckets == 0)
   }
+
+  test("reliable-checkpoint mode: same clusters, checkpoint files on the FS") {
+    import spark.implicits._
+    // chain 0-1-2-3 + pair 10-11: two components, diameter > 1 so the
+    // label-propagation loop iterates (and truncates) more than once
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val defaultMode = Dedup.clustersFrom(spark, edges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the flag requires a checkpoint dir — fail loudly, not silently local
+    spark.conf.set("spark.graft.reliableCheckpoints", "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        intercept[IllegalArgumentException] { Dedup.clustersFrom(spark, edges).collect() }
+        val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+        spark.sparkContext.setCheckpointDir(dir)
+      }
+      val reliable = Dedup.clustersFrom(spark, edges)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(reliable == defaultMode)
+      assert(reliable.map(_._1) == Seq(0L, 10L)) // min-label components
+      // blocks actually went to the checkpoint FS (survive executor loss)
+      val ckpt = new java.io.File(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(ckpt), "reliable checkpoint wrote no files")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoints")
+  }
 }
