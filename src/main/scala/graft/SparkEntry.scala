@@ -328,7 +328,11 @@ object SparkEntry {
       "text_pii" -> ((s, dir) => TextAnalysis.textPii(s, dir)),
       "text_chunks" -> ((s, dir) => TextAnalysis.textChunks(s, dir)),
       "text_length_quantiles" -> ((s, dir) => TextAnalysis.textLengthQuantiles(s, dir)),
-      "text_lm_score" -> ((s, dir) => TextAnalysis.textLmScore(s, dir))
+      "text_lm_score" -> ((s, dir) => TextAnalysis.textLmScore(s, dir)),
+      // ---- training-set assembly ----
+      "decontaminate" -> ((s, dir) => graft.operators.TrainingSet.decontaminate(s, dir)),
+      "substring_dedup" -> ((s, dir) => graft.operators.TrainingSet.substringDedup(s, dir)),
+      "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -662,7 +666,10 @@ object SparkEntry {
       "text_pii" -> TextAnalysis.textPiiSql,
       "text_chunks" -> TextAnalysis.textChunksSql,
       "text_length_quantiles" -> TextAnalysis.textLengthQuantilesSql,
-      "text_lm_score" -> TextAnalysis.textLmScoreSql
+      "text_lm_score" -> TextAnalysis.textLmScoreSql,
+      "decontaminate" -> graft.operators.TrainingSet.decontaminateSql,
+      "substring_dedup" -> graft.operators.TrainingSet.substringDedupSql,
+      "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql
     ) ++ extractionOracles
   }
 }

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators — the last stages between a deduped
+  * corpus and a tokenizer:
+  *
+  *   - decontaminate: benchmark n-gram overlap detection (the GPT-3 /
+  *     PaLM decontamination rule: a training doc is contaminated if it
+  *     shares any 13-gram with an eval benchmark). The benchmark side is
+  *     tiny (eval suites are ≤10^6 items) → its n-gram set broadcasts;
+  *     the corpus side explodes token windows into a broadcast-hash join
+  *     and only matching windows reach the per-doc count shuffle — the
+  *     corpus never shuffles its text.
+  *   - substringDedup: window-level exact dedup (Lee et al. 2022,
+  *     "Deduplicating Training Data Makes Language Models Better" —
+  *     repeated SPANS, not whole-doc dups): fixed-width token windows
+  *     grouped corpus-wide; a window seen in ≥2 distinct docs marks both.
+  *     One shuffle on the window key (at 100 TB the key is a 128-bit
+  *     hash, not the string — string form here keeps the DuckDB oracle
+  *     byte-comparable), map-side partial agg collapses per-partition
+  *     repeats first.
+  *   - corpusMix: temperature-based sampling weights per language
+  *     (multinomial p_l ∝ n_l^α, α = 0.3 — the mT5/XLM-R upsampling
+  *     rule): rare languages get boosted, dominant ones damped. One tiny
+  *     agg — the per-doc sampling decision it parameterizes is a narrow
+  *     hash-threshold map.
+  *
+  * Tokenization is the shared lowercase-[a-z0-9]+ runs (Dedup.tokensCol)
+  * so both engines agree byte-for-byte.
+  */
+object TrainingSet {
+
+  // ---- decontamination ----
+
+  val NGram = 13
+  /** Donor snippet: tokens[SnipStart, SnipStart+SnipLen) of every 50th doc
+    * play the "benchmark item" role (deterministic, oracle-replicable).
+    */
+  val SnipStart = 4
+  val SnipLen = 21
+
+  /** documents ∪ planted contaminated docs: each benchmark donor's snippet
+    * re-appears inside an otherwise-unrelated doc (doc_id + 2000000) — the
+    * ground truth the oracle re-derives.
+    */
+  private def contamCorpus(docs: DataFrame): (DataFrame, DataFrame) = {
+    val withToks = docs.select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
+    val donors = withToks
+      .filter(col("doc_id") % 50 === 0 && size(col("toks")) >= SnipStart + SnipLen)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), SnipStart + 1, SnipLen)).as("snippet"))
+    val planted = donors.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(lit("completely unrelated preamble words here "),
+        col("snippet"), lit(" and some trailing filler content")).as("text"))
+    (donors, planted)
+  }
+
+  /** Contaminated training docs: any shared 13-gram with a benchmark
+    * snippet (donors themselves excluded — they're the benchmark, not
+    * the training set). Output: (doc_id, n_hits = distinct matching
+    * 13-grams).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val (donors, planted) = contamCorpus(docs)
+    val corpus = docs.unionAll(planted)
+      .join(donors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .repartition(s.sparkContext.defaultParallelism)
+    val benchGrams = donors
+      .select(explode(gramsExpr(Dedup.tokensCol(col("snippet")), NGram)).as("gram"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(gramsExpr(Dedup.tokensCol(col("text")), NGram)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram string windows over a token array (empty below n tokens).
+    * Pure higher-order-function expression (codegen'd, no UDF); slice is
+    * 1-based, window starts 0-based.
+    */
+  private def gramsExpr(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  def decontaminateSql: String =
+    s"""WITH base AS (
+       | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |donors AS (
+       | SELECT doc_id,
+       |  array_to_string(list_slice(toks, ${SnipStart + 1}, ${SnipStart + SnipLen}), ' ') AS snippet
+       | FROM base WHERE doc_id % 50 = 0 AND len(toks) >= ${SnipStart + SnipLen}),
+       |planted AS (
+       | SELECT doc_id + 2000000 AS doc_id,
+       |  'completely unrelated preamble words here ' || snippet ||
+       |  ' and some trailing filler content' AS text
+       | FROM donors),
+       |corpus AS (
+       | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM planted)
+       | WHERE doc_id NOT IN (SELECT doc_id FROM donors)),
+       |bench_grams AS (
+       | SELECT DISTINCT array_to_string(list_slice(t.toks, g.i, g.i + ${NGram - 1}), ' ') AS gram
+       | FROM (SELECT regexp_extract_all(lower(snippet), '[a-z0-9]+') AS toks FROM donors) t,
+       |      LATERAL (SELECT unnest(generate_series(1, len(t.toks) - ${NGram - 1})) AS i) g
+       | WHERE len(t.toks) >= $NGram),
+       |corpus_grams AS (
+       | SELECT c.doc_id, array_to_string(list_slice(c.toks, g.i, g.i + ${NGram - 1}), ' ') AS gram
+       | FROM corpus c,
+       |      LATERAL (SELECT unnest(generate_series(1, len(c.toks) - ${NGram - 1})) AS i) g
+       | WHERE len(c.toks) >= $NGram)
+       |SELECT cg.doc_id, CAST(count(DISTINCT cg.gram) AS BIGINT) AS n_hits
+       |FROM corpus_grams cg JOIN bench_grams b ON b.gram = cg.gram
+       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  // ---- substring-level dedup ----
+
+  /** Window width (tokens) for span-level dedup. */
+  val SpanWindow = 16
+
+  /** Docs carrying windows that appear (verbatim) in ≥2 distinct docs of
+    * the dedup corpus. Output per flagged doc: total windows, duplicated
+    * windows, duplicated fraction.
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val windows = Dedup.corpus(s, dir)
+      .select(col("doc_id"), explode(gramsExpr(Dedup.tokensCol(col("text")), SpanWindow)).as("gram"))
+    val dupGrams = windows
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    windows
+      .join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+      .join(
+        windows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 3).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringDedupSql: String =
+    s"""WITH all_docs AS (${Dedup.corpusSql}),
+       |toks AS (
+       | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM all_docs),
+       |w AS (
+       | SELECT t.doc_id,
+       |  array_to_string(list_slice(t.toks, g.i, g.i + ${SpanWindow - 1}), ' ') AS gram
+       | FROM toks t,
+       |      LATERAL (SELECT unnest(generate_series(1, len(t.toks) - ${SpanWindow - 1})) AS i) g
+       | WHERE len(t.toks) >= $SpanWindow),
+       |dup AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+       |per_doc AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+       |hits AS (
+       | SELECT w.doc_id, count(*) AS n_dup_windows
+       | FROM w JOIN dup ON dup.gram = w.gram GROUP BY w.doc_id)
+       |SELECT h.doc_id, CAST(p.n_windows AS BIGINT) AS n_windows,
+       | CAST(h.n_dup_windows AS BIGINT) AS n_dup_windows,
+       | round(h.n_dup_windows * 1.0 / p.n_windows, 3) AS dup_frac
+       |FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
+  // ---- temperature-based corpus mixing ----
+
+  /** Sampling temperature (mT5/XLM-R-style α). */
+  val MixAlpha = 0.3
+
+  /** Per-language multinomial sampling weights p_l ∝ n_l^α: rare
+    * languages upsampled, dominant ones damped.
+    */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Relational.table(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).as("tot"),
+      sum(pow(col("n_docs").cast("double"), lit(MixAlpha))).as("ptot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("tot"), 4).as("natural_frac"),
+        round(pow(col("n_docs").cast("double"), lit(MixAlpha)) / col("ptot"), 4).as("mix_frac"),
+        round(pow(col("n_docs").cast("double"), lit(MixAlpha)) / col("ptot") /
+          (col("n_docs").cast("double") / col("tot")), 3).as("boost"))
+      .orderBy(col("lang"))
+  }
+
+  def corpusMixSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT sum(n_docs) AS tot, sum(pow(n_docs, $MixAlpha)) AS ptot FROM c)
+       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       | round(n_docs / tot, 4) AS natural_frac,
+       | round(pow(n_docs, $MixAlpha) / ptot, 4) AS mix_frac,
+       | round(pow(n_docs, $MixAlpha) / ptot / (n_docs / tot), 3) AS boost
+       |FROM c, t ORDER BY lang""".stripMargin
+}

@@ -191,4 +191,49 @@ class TextPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("decontaminate: planted benchmark-overlap docs are flagged, donors excluded") {
+    import graft.operators.TrainingSet
+    val got = SparkEntry.queries("decontaminate")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // every planted doc (donor snippet embedded verbatim) is flagged with
+    // ALL of its snippet's 13-gram windows hitting
+    val windowsPerSnippet = TrainingSet.SnipLen - TrainingSet.NGram + 1
+    val planted = got.keys.filter(_ >= 2000000L)
+    assert(planted.nonEmpty)
+    planted.foreach(id => assert(got(id) == windowsPerSnippet.toLong, s"doc $id"))
+    // donors themselves (the benchmark) never appear in the training output
+    assert(got.keys.forall(id => !(id < 2000000L && id % 50 == 0)))
+    // hits are bounded by the snippet window count
+    assert(got.values.forall(n => n >= 1 && n <= windowsPerSnippet.toLong))
+  }
+
+  test("substring_dedup: planted near-dup pairs share their window sets") {
+    val rows = SparkEntry.queries("substring_dedup")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    val plantedCopies = rows.map(_._1).filter(_ >= 1000000L)
+    assert(plantedCopies.nonEmpty)
+    plantedCopies.foreach { cid =>
+      val base = cid - 1000000L
+      assert(byId.contains(base), s"base $base of planted copy $cid not flagged")
+      // every window of the base re-occurs verbatim inside the copy (the
+      // copy only APPENDS a marker suffix) -> base dup_frac is exactly 1.0
+      assert(byId(base)._4 == 1.0, s"base $base dup_frac")
+      // the copy has the same windows plus suffix-spanning ones
+      assert(byId(cid)._2 >= byId(base)._2, s"copy $cid window count")
+    }
+  }
+
+  test("corpus_mix: temperature weights sum to 1 and boost is inverse to size") {
+    val rows = SparkEntry.queries("corpus_mix")(spark, sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3) // mix_frac ~sums to 1
+    val bySize = rows.sortBy(_._2)
+    // smaller language -> larger boost (strictly, sizes here are distinct)
+    bySize.map(_._5).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    assert(bySize.last._1 == "en" && bySize.last._5 < 1.0) // dominant damped
+    assert(bySize.head._5 > 1.0) // rarest boosted
+  }
 }
