@@ -159,6 +159,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ann_ivfpq: probe and query sides broadcast; no sort-merge join") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = physicalPlan(Similarity.annIvfPqFrom(spark, dir,
+      Similarity.annIvfCells(spark, dir),
+      Similarity.annIvfProbes(spark, dir),
+      graft.operators.Pq.pqPairs(spark, dir)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"ivfpq must not sort-merge (probes/queries broadcast, codes join stays hash):\n$plan")
+  }
+
+  test("decontaminate: benchmark grams broadcast into the corpus window stream") {
+    val plan = physicalPlan(
+      graft.operators.TrainingSet.decontaminate(spark, "/root/testdata/sf0.001"))
+    // both the donor anti-gate and the gram match must broadcast — the
+    // corpus-side token windows never shuffle before matching
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$plan")
+  }
+
+  test("substring_dedup: map-side partial agg before the window-key shuffle") {
+    val plan = physicalPlan(
+      graft.operators.TrainingSet.substringDedup(spark, "/root/testdata/sf0.001"))
+    // the corpus-wide gram groupBy must partial-aggregate before its
+    // exchange (collapses per-partition repeats of hot windows)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("aqe: skewed sort-merge join is split at runtime (skew=true in final plan)") {
     import spark.implicits._
     val conf = spark.conf

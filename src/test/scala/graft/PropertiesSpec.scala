@@ -230,4 +230,34 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("pixel decode: total on corrupted PNG/BMP payloads (never throws)") {
+    import graft.kernel.PixelDecode
+    import graft.sources.ImageGen
+    val basePng = ImageGen.pngReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
+    val baseBmp = ImageGen.bmpReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
+    val corruption = for {
+      base <- Gen.oneOf(basePng, baseBmp)
+      nMut <- Gen.choose(1, 12)
+      muts <- Gen.listOfN(nMut, Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(0, 255)))
+      cut <- Gen.choose(0, base.length)
+    } yield {
+      val b = java.util.Arrays.copyOf(base, cut.max(1))
+      muts.foreach { case (i, v) => if (i < b.length) b(i) = v.toByte }
+      b
+    }
+    check(Prop.forAll(corruption) { b =>
+      PixelDecode.decodeLuma(b) // any result is fine; throwing is the failure
+      true
+    })
+    // pure garbage behind each magic
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 255))) { bytes =>
+      val garbage = bytes.map(_.toByte).toArray
+      PixelDecode.decodeLuma(
+        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+          0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++ garbage)
+      PixelDecode.decodeLuma(Array('B'.toByte, 'M'.toByte) ++ garbage)
+      true
+    })
+  }
 }
