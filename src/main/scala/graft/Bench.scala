@@ -147,7 +147,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "ann_bruteforce", "ann_lsh", "ann_ivfpq", "text_stats", "text_quality",
       "para_scrub", "text_repetition", "text_pii", "text_chunks",
-      "text_lm_score", "q_asof_join", "q_sessionize")
+      "text_lm_score", "q_asof_join", "q_sessionize",
+      "decontaminate", "substring_dedup")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation

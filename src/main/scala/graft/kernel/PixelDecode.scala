@@ -1,11 +1,11 @@
 package graft.kernel
 
-/** Pure-JVM PIXEL decoders for the two raster containers the JDK can
-  * handle with zero codec dependencies: PNG (zlib via
-  * `java.util.zip.Inflater` + the five PNG scanline filters) and BMP
-  * (raw padded rows). This shrinks the multimodal codec seam
-  * (operators.Multimodal scaladoc) to jpg/gif/tiff — PNG and BMP
-  * thumbnails are real resampled luma.
+/** Pure-JVM PIXEL decoders for the raster containers decodable with
+  * zero codec dependencies: PNG (zlib via `java.util.zip.Inflater` +
+  * the five PNG scanline filters), BMP (raw padded rows), GIF (from-
+  * scratch LZW), and uncompressed TIFF (raw strips). This shrinks the
+  * multimodal codec seam (operators.Multimodal scaladoc) to JPEG only —
+  * four of the five triage formats get real resampled luma.
   *
   * Scope (documented, spec-pinned):
   *   - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -14,6 +14,13 @@ package graft.kernel
   *     to the seam), never throw.
   *   - BMP: BITMAPINFOHEADER family, uncompressed (BI_RGB), 8-bpp
   *     palette / 24-bpp BGR / 32-bpp BGRA, bottom-up or top-down.
+  *   - GIF: 87a/89a, first full-frame image (animation frames beyond
+  *     the first are triage-irrelevant), global or local palette,
+  *     interlaced or sequential, hand-rolled LZW (variable code width,
+  *     clear/end codes, 12-bit dict cap).
+  *   - TIFF: compression 1 (uncompressed) strips, 8 bits/sample,
+  *     grayscale (photometric 0/1, incl. white-is-zero inversion) or
+  *     RGB, either endianness. LZW/JPEG-compressed TIFF → None.
   *   - Dimensions above the reference's resolution cap
   *     (MergeSpec.MaxImageDim per side) are not decoded — bounds the
   *     decode buffer exactly like the validation ladder bounds OCR.
@@ -29,12 +36,16 @@ object PixelDecode {
 
   def luma601(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
 
-  /** Grayscale decode of a PNG or BMP payload; None for anything else. */
+  /** Grayscale decode of a PNG/BMP/GIF/uncompressed-TIFF payload; None
+    * for anything else.
+    */
   def decodeLuma(b: Array[Byte]): Option[Luma] = {
     if (b == null || b.length < 8) return None
     try {
       if ((b(0) & 0xff) == 0x89 && b(1) == 'P') png(b)
       else if (b(0) == 'B' && b(1) == 'M') bmp(b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gif(b)
+      else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')) tiff(b)
       else None
     } catch { case _: Exception => None }
   }
@@ -189,6 +200,243 @@ object PixelDecode {
       }
       y += 1
     }
+  }
+
+  // ------------------------------------------------------------------
+  // GIF (from-scratch LZW)
+  // ------------------------------------------------------------------
+
+  private def gif(b: Array[Byte]): Option[Luma] = {
+    if (b.length < 13) return None
+    if (!(b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val w = le16(b, 6)
+    val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w > MergeSpec.MaxImageDim || h > MergeSpec.MaxImageDim)
+      return None
+    val packed = u8(b, 10)
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < b.length) {
+      u8(b, pos) match {
+        case 0x21 => // extension block: label byte + sub-blocks to a 0 terminator
+          pos += 2
+          while (pos < b.length && u8(b, pos) != 0) pos += 1 + u8(b, pos)
+          pos += 1
+        case 0x2C => // image descriptor — decode the FIRST full frame
+          if (pos + 10 > b.length) return None
+          val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+          val iw = le16(b, pos + 5); val ih = le16(b, pos + 7)
+          val ip = u8(b, pos + 9)
+          pos += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (pos + 3 * n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          // a partial first frame (animation delta) is not a triage raster
+          if (pal == null || left != 0 || top != 0 || iw != w || ih != h) return None
+          if (pos >= b.length) return None
+          val minCode = u8(b, pos); pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream(b.length - pos)
+          while (pos < b.length && u8(b, pos) != 0) {
+            val n = u8(b, pos)
+            if (pos + 1 + n > b.length) return None
+            data.write(b, pos + 1, n)
+            pos += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h) match {
+            case Some(a) => a
+            case None    => return None
+          }
+          // palette indices → luma, de-interlacing row order if flagged
+          val out = new Array[Byte](w * h)
+          val rowOrder: Seq[Int] =
+            if ((ip & 0x40) == 0) 0 until h
+            else (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
+          var src = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val pi = (idx(src) & 0xff) * 3
+              if (pi + 2 >= pal.length) return None
+              out(y * w + x) = luma601(u8(pal, pi), u8(pal, pi + 1), u8(pal, pi + 2)).toByte
+              src += 1
+              x += 1
+            }
+          }
+          return Some(Luma(w, h, out))
+        case 0x3B => return None // trailer before any image
+        case _    => return None // desynced
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW: variable code width starting at minCode+1, LSB-first
+    * bit packing, clear/end codes, dict capped at 4096 entries; width
+    * grows when the next free slot reaches the current code range.
+    */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    var codeSize = minCode + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = end + 1
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    val stack = new Array[Byte](4097)
+    var prev = -1
+    while (outPos < nPixels) {
+      if (bitPos + codeSize > totalBits) return None // truncated stream
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if (((data(bp >> 3) >> (bp & 7)) & 1) != 0) code |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        next = end + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == end) {
+        return if (outPos == nPixels) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be a literal
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        if (code > next) return None // beyond the next free slot — corrupt
+        // expand `code`; for the KwKwK case (code == next, the entry being
+        // defined right now) the emitted string is expand(prev) + its own
+        // first byte — expand prev and append that byte after the stack
+        var sp = 0
+        var c = if (code == next) prev else code
+        while (c >= end + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        val first = c.toByte
+        stack(sp) = first; sp += 1
+        if (outPos + sp + (if (code == next) 1 else 0) > nPixels) return None
+        var k = sp - 1
+        while (k >= 0) { out(outPos) = stack(k); outPos += 1; k -= 1 }
+        if (code == next) { out(outPos) = first; outPos += 1 }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next < 4096 && next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  // ------------------------------------------------------------------
+  // TIFF (uncompressed strips)
+  // ------------------------------------------------------------------
+
+  private def tiff(b: Array[Byte]): Option[Luma] = {
+    if (b.length < 8) return None
+    val le = b(0) == 'I'
+    if (le && !(b(1) == 'I' && u8(b, 2) == 0x2A && u8(b, 3) == 0)) return None
+    if (!le && !(b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2A)) return None
+    def rd16(i: Int): Int = if (le) le16(b, i) else ((u8(b, i) << 8) | u8(b, i + 1))
+    def rd32(i: Int): Long = if (le) le32(b, i)
+      else (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    val ifd = rd32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val off = ifd.toInt
+    val nEntries = rd16(off)
+    // tag values: SHORT(3)/LONG(4); values fitting 4 bytes sit inline
+    // (left-justified), larger arrays live at the offset field
+    def values(p: Int): Option[Array[Long]] = {
+      val typ = rd16(p + 2)
+      val cnt = rd32(p + 4)
+      if (cnt <= 0 || cnt > (1 << 20)) return None
+      val sz = typ match { case 3 => 2; case 4 => 4; case _ => return None }
+      val base = if (cnt * sz <= 4) p + 8 else {
+        val o = rd32(p + 8)
+        if (o < 0 || o + cnt * sz > b.length) return None
+        o.toInt
+      }
+      Some(Array.tabulate(cnt.toInt) { k =>
+        if (sz == 2) rd16(base + k * 2).toLong else rd32(base + k * 4)
+      })
+    }
+    var w = -1L; var h = -1L; var comp = 1L; var photo = 1L; var spp = 1L
+    var rps = -1L
+    var bits: Array[Long] = Array(8L)
+    var stripOffs: Array[Long] = null
+    var stripLens: Array[Long] = null
+    var e = 0
+    while (e < nEntries) {
+      val p = off + 2 + e * 12
+      if (p + 12 > b.length) return None
+      rd16(p) match {
+        case 256 => w = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 257 => h = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 258 => bits = values(p).getOrElse(return None)
+        case 259 => comp = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 262 => photo = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 273 => stripOffs = values(p).getOrElse(return None)
+        case 277 => spp = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 278 => rps = values(p).flatMap(_.headOption).getOrElse(-1L)
+        case 279 => stripLens = values(p).getOrElse(return None)
+        case _   => ()
+      }
+      e += 1
+    }
+    if (comp != 1L) return None // uncompressed only — LZW/JPEG TIFF is the seam
+    if (w <= 0 || h <= 0 || w > MergeSpec.MaxImageDim || h > MergeSpec.MaxImageDim)
+      return None
+    if (!(photo == 0L || photo == 1L || photo == 2L)) return None
+    if (!((spp == 1L && photo != 2L) || (spp == 3L && photo == 2L))) return None
+    if (!bits.forall(_ == 8L)) return None
+    if (stripOffs == null) return None
+    val wi = w.toInt; val hi = h.toInt
+    val rowBytes = wi * spp.toInt
+    val rowsPerStrip = if (rps <= 0) hi.toLong else rps
+    // concatenate strips into the raster
+    val raster = new Array[Byte](rowBytes * hi)
+    var filled = 0
+    var s = 0
+    while (s < stripOffs.length && filled < raster.length) {
+      val so = stripOffs(s)
+      val want = math.min(raster.length - filled,
+        (rowsPerStrip * rowBytes).toInt)
+      val len = if (stripLens != null && s < stripLens.length)
+        math.min(stripLens(s), want.toLong).toInt else want
+      if (so < 0 || so + len > b.length) return None
+      System.arraycopy(b, so.toInt, raster, filled, len)
+      filled += len
+      s += 1
+    }
+    if (filled < raster.length) return None
+    val out = new Array[Byte](wi * hi)
+    var i = 0
+    while (i < wi * hi) {
+      out(i) =
+        if (spp == 1L) {
+          val v = u8(raster, i)
+          (if (photo == 0L) 255 - v else v).toByte // 0 = white-is-zero
+        } else {
+          val p = i * 3
+          luma601(u8(raster, p), u8(raster, p + 1), u8(raster, p + 2)).toByte
+        }
+      i += 1
+    }
+    Some(Luma(wi, hi, out))
   }
 
   // ------------------------------------------------------------------

@@ -143,6 +143,143 @@ object ImageGen {
     b
   }
 
+  /** Real-pixel GIF89a: global palette (≤256 RGB entries), one full
+    * sequential frame, from-scratch LZW written as literal codes with the
+    * dict-growth simulation mirrored against the decoder (a clear code
+    * resets before the code width could exceed 12 bits). `pxIndex(x, y)`
+    * supplies the palette index.
+    */
+  def gifReal(w: Int, h: Int, palette: Seq[(Int, Int, Int)],
+      interlaced: Boolean = false)(
+      pxIndex: (Int, Int) => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.size <= 256)
+    // palette size rounded up to a power of two (min 4: minCode >= 2)
+    var bits = 2
+    while ((1 << bits) < palette.size) bits += 1
+    val n = 1 << bits
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 64)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | (bits - 1)) // GCT present, 2^bits entries
+    out.write(0); out.write(0)   // bg color, aspect
+    for (i <- 0 until n) {
+      val (r, g, b) = if (i < palette.size) palette(i) else (0, 0, 0)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+    }
+    out.write(0x2C) // image descriptor
+    w16(0); w16(0); w16(w); w16(h)
+    out.write(if (interlaced) 0x40 else 0) // no LCT; optional interlace
+    val minCode = bits
+    out.write(minCode)
+    // LZW: literal codes only, clearing whenever the dict nears 12 bits.
+    // The decoder adds one dict entry per code after the first following a
+    // clear; mirror that bookkeeping exactly to keep code widths in sync.
+    val clear = 1 << minCode
+    val end = clear + 1
+    val lzw = new java.io.ByteArrayOutputStream(w * h)
+    var cur = 0L
+    var curBits = 0
+    var codeSize = minCode + 1
+    var next = end + 1
+    var sinceClear = 0
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << curBits
+      curBits += codeSize
+      while (curBits >= 8) { lzw.write((cur & 0xff).toInt); cur >>= 8; curBits -= 8 }
+    }
+    emit(clear)
+    // pixels stream in file order: interlaced GIFs store the 4-pass row
+    // permutation, sequential ones the natural order
+    val rowOrder: IndexedSeq[Int] =
+      if (!interlaced) 0 until h
+      else ((0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)).toIndexedSeq
+    var i = 0
+    val total = w * h
+    while (i < total) {
+      emit(pxIndex(i % w, rowOrder(i / w)) & (n - 1))
+      if (sinceClear > 0) { // decoder defines an entry for every code after the first
+        next += 1
+        if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      sinceClear += 1
+      if (next >= 4095) { // reset before the dict (and width bookkeeping) caps out
+        emit(clear)
+        codeSize = minCode + 1; next = end + 1; sinceClear = 0
+      }
+      i += 1
+    }
+    emit(end)
+    if (curBits > 0) lzw.write((cur & 0xff).toInt)
+    // sub-block chunking (≤255 bytes per block) + terminator + trailer
+    val data = lzw.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val k = math.min(255, data.length - off)
+      out.write(k)
+      out.write(data, off, k)
+      off += k
+    }
+    out.write(0)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Real-pixel TIFF (little-endian): 8-bit RGB, uncompressed, a strip
+    * per `rowsPerStrip` rows — multiple strips exercise strip assembly.
+    */
+  def tiffReal(w: Int, h: Int, rowsPerStrip: Int = 5)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = w * 3
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val pixelBytes = rowBytes * h
+    // layout: 8-byte header | pixel strips | bits array (3 SHORTs) |
+    // strip offset/count arrays (if >1 strip) | IFD
+    val stripOffs = Array.tabulate(nStrips)(s => 8 + s * rowsPerStrip * rowBytes)
+    val stripLens = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      rows * rowBytes
+    }
+    var pos = 8 + pixelBytes
+    val bitsOff = pos; pos += 6 // three SHORT(8)s
+    val needArrays = nStrips > 1
+    val offsOff = pos; if (needArrays) pos += nStrips * 4
+    val lensOff = pos; if (needArrays) pos += nStrips * 4
+    val ifdOff = pos
+    val nTags = 9
+    val b = new Array[Byte](ifdOff + 2 + nTags * 12 + 4)
+    b(0) = 'I'; b(1) = 'I'; b(2) = 0x2A; b(3) = 0
+    putLe32(b, 4, ifdOff)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = px(x, y)
+      val p = 8 + y * rowBytes + x * 3
+      b(p) = r.toByte; b(p + 1) = g.toByte; b(p + 2) = bl.toByte
+    }
+    putLe16(b, bitsOff, 8); putLe16(b, bitsOff + 2, 8); putLe16(b, bitsOff + 4, 8)
+    if (needArrays) for (s <- 0 until nStrips) {
+      putLe32(b, offsOff + s * 4, stripOffs(s))
+      putLe32(b, lensOff + s * 4, stripLens(s))
+    }
+    putLe16(b, ifdOff, nTags)
+    var t = ifdOff + 2
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      putLe16(b, t, id); putLe16(b, t + 2, typ); putLe32(b, t + 4, count)
+      if (typ == 3 && count == 1) putLe16(b, t + 8, value) else putLe32(b, t + 8, value)
+      t += 12
+    }
+    tag(256, 4, 1, w)           // ImageWidth
+    tag(257, 4, 1, h)           // ImageLength
+    tag(258, 3, 3, bitsOff)     // BitsPerSample → offset (3 SHORTs)
+    tag(259, 3, 1, 1)           // Compression: none
+    tag(262, 3, 1, 2)           // Photometric: RGB
+    if (needArrays) tag(273, 4, nStrips, offsOff) else tag(273, 4, 1, stripOffs(0))
+    tag(277, 3, 1, 3)           // SamplesPerPixel
+    tag(278, 4, 1, rowsPerStrip)
+    if (needArrays) tag(279, 4, nStrips, lensOff) else tag(279, 4, 1, stripLens(0))
+    // next-IFD offset stays 0
+    b
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {

@@ -108,9 +108,48 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
   }
 
-  test("thumbOf: PNG/BMP thumbnails are the exact box-mean of the real pixels") {
+  private val testPalette: Seq[(Int, Int, Int)] =
+    (0 until 8).map(i => ((i * 33) & 0xff, (i * 57 + 4) & 0xff, (i * 19 + 9) & 0xff))
+
+  test("GIF real-pixel round-trip: LZW decode recovers every palette index") {
+    // 80×60 = 4800 pixels forces dict growth past several code widths AND
+    // the mid-stream clear/reset (dict nears 4095 entries)
+    val (w, h) = (80, 60)
+    def pi(x: Int, y: Int): Int = (x * 3 + y * 5 + (x * y) % 7) % 8
+    for (interlaced <- Seq(false, true)) {
+      val gif = ImageGen.gifReal(w, h, testPalette, interlaced)(pi)
+      val img = PixelDecode.decodeLuma(gif).get
+      assert(img.width == w && img.height == h, s"interlaced=$interlaced")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = testPalette(pi(x, y))
+        assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b),
+          s"($x,$y) interlaced=$interlaced")
+      }
+    }
+  }
+
+  test("TIFF real-pixel round-trip: single and multiple uncompressed strips") {
+    val (w, h) = (21, 13)
+    for (rps <- Seq(4, 64)) { // 4 → four strips (last partial); 64 → one strip
+      val tif = ImageGen.tiffReal(w, h, rowsPerStrip = rps)(gradient)
+      val img = PixelDecode.decodeLuma(tif).get
+      assert(img.width == w && img.height == h, s"rps=$rps")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = gradient(x, y)
+        assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b),
+          s"($x,$y) rps=$rps")
+      }
+    }
+    // header-only TIFF fixture (no strip data) stays undecodable
+    assert(PixelDecode.decodeLuma(ImageGen.tiff(30, 20)).isEmpty)
+  }
+
+  test("thumbOf: PNG/BMP/GIF/TIFF thumbnails are the exact box-mean of the real pixels") {
     val (w, h) = (40, 24)
-    for (payload <- Seq(ImageGen.pngReal(w, h)(gradient), ImageGen.bmpReal(w, h)(gradient))) {
+    for (payload <- Seq(
+        ImageGen.pngReal(w, h)(gradient), ImageGen.bmpReal(w, h)(gradient),
+        ImageGen.gifReal(w, h, testPalette)((x, y) => (x + y) % 8),
+        ImageGen.tiffReal(w, h)(gradient))) {
       val t = Multimodal.thumbOf(Page("img://x", null, payload, "", "en")).get
       assert(t.thumb_w == Multimodal.ThumbMax)
       assert(t.thumb_h == h * Multimodal.ThumbMax / w)

@@ -231,13 +231,16 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("pixel decode: total on corrupted PNG/BMP payloads (never throws)") {
+  test("pixel decode: total on corrupted PNG/BMP/GIF/TIFF payloads (never throws)") {
     import graft.kernel.PixelDecode
     import graft.sources.ImageGen
     val basePng = ImageGen.pngReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
     val baseBmp = ImageGen.bmpReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
+    val baseGif = ImageGen.gifReal(19, 11,
+      (0 until 8).map(i => (i * 30, i * 20, i * 10)))((x, y) => (x + y) % 8)
+    val baseTif = ImageGen.tiffReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
     val corruption = for {
-      base <- Gen.oneOf(basePng, baseBmp)
+      base <- Gen.oneOf(basePng, baseBmp, baseGif, baseTif)
       nMut <- Gen.choose(1, 12)
       muts <- Gen.listOfN(nMut, Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(0, 255)))
       cut <- Gen.choose(0, base.length)
@@ -257,6 +260,8 @@ class PropertiesSpec extends AnyFunSuite {
         Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
           0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++ garbage)
       PixelDecode.decodeLuma(Array('B'.toByte, 'M'.toByte) ++ garbage)
+      PixelDecode.decodeLuma("GIF89a".getBytes("US-ASCII") ++ garbage)
+      PixelDecode.decodeLuma(Array('I'.toByte, 'I'.toByte, 0x2A.toByte, 0.toByte) ++ garbage)
       true
     })
   }
