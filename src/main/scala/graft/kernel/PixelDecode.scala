@@ -3,9 +3,11 @@ package graft.kernel
 /** Pure-JVM PIXEL decoders for the raster containers decodable with
   * zero codec dependencies: PNG (zlib via `java.util.zip.Inflater` +
   * the five PNG scanline filters), BMP (raw padded rows), GIF (from-
-  * scratch LZW), and uncompressed TIFF (raw strips). This shrinks the
-  * multimodal codec seam (operators.Multimodal scaladoc) to JPEG only —
-  * four of the five triage formats get real resampled luma.
+  * scratch LZW), uncompressed TIFF (raw strips), and baseline JPEG
+  * (kernel.JpegDecode — from-scratch Huffman + IDCT, luma plane). ALL
+  * FIVE triage formats now decode real luma; what remains at the
+  * multimodal seam (operators.Multimodal scaladoc) is progressive
+  * JPEG, compressed-TIFF variants, and audio/video payloads.
   *
   * Scope (documented, spec-pinned):
   *   - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -46,6 +48,7 @@ object PixelDecode {
       else if (b(0) == 'B' && b(1) == 'M') bmp(b)
       else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gif(b)
       else if ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')) tiff(b)
+      else if ((b(0) & 0xff) == 0xFF && (b(1) & 0xff) == 0xD8) JpegDecode.decode(b)
       else None
     } catch { case _: Exception => None }
   }

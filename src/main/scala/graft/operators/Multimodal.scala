@@ -17,14 +17,14 @@ import org.apache.spark.sql.functions._
   * a 100 TB media crawl partitions and filters on before spending decode
   * cycles.
   *
-  * Pixel decode: PNG, BMP, GIF, and uncompressed TIFF decode for REAL
-  * (kernel.PixelDecode — JDK zlib, from-scratch GIF LZW, raw strips),
-  * so their thumbnails are genuine resampled luma. The remaining seam
-  * is JPEG pixels (entropy-coded DCT) plus compressed-TIFF variants
-  * (and audio samples / video frames) — a real build plugs a JNI/FFI
-  * codec or a Pandas UDF over mapInPandas into the same typed map.
-  * Dimensions and decode_ok are real for all five raster formats, from
-  * the header.
+  * Pixel decode: ALL FIVE raster formats decode for REAL
+  * (kernel.PixelDecode — JDK zlib for PNG, raw BMP rows, from-scratch
+  * GIF LZW, raw TIFF strips, and a from-scratch baseline-JPEG Huffman +
+  * IDCT in kernel.JpegDecode), so thumbnails are genuine resampled
+  * luma. The remaining seam is exotic variants (progressive JPEG,
+  * compressed TIFF) and audio/video payloads — a real build plugs a
+  * JNI/FFI codec or a Pandas UDF over mapInPandas into the same typed
+  * map.
   */
 object Multimodal {
 
@@ -128,15 +128,15 @@ object Multimodal {
     * partition-preserving typed map — the schema, batch shape, and
     * memory bound a production resize stage has.
     *
-    * PIXEL SOURCE: PNG, BMP, GIF, and uncompressed-TIFF payloads decode
-    * for REAL (kernel.PixelDecode — pure-JVM zlib + PNG filters, raw BMP
-    * rows, from-scratch GIF LZW, raw TIFF strips) and the thumbnail is
-    * genuine box-resampled BT.601 luma. The remaining codec seam is JPEG
-    * (plus compressed-TIFF and other out-of-scope variants): those get a
-    * DETERMINISTIC FAKE byte (xxhash64 of the payload hash and pixel
-    * index) standing in for the resampled value. The resize GEOMETRY is
-    * real for every format and is independently recomputed by the DuckDB
-    * oracle from the header dims.
+    * PIXEL SOURCE: all five raster formats decode for REAL
+    * (kernel.PixelDecode — pure-JVM zlib + PNG filters, raw BMP rows,
+    * from-scratch GIF LZW, raw TIFF strips, baseline-JPEG Huffman+IDCT)
+    * and the thumbnail is genuine box-resampled BT.601 luma. Payloads
+    * outside decode scope (progressive JPEG, compressed TIFF, malformed
+    * streams) get a DETERMINISTIC FAKE byte (xxhash64 of the payload
+    * hash and pixel index) standing in for the resampled value. The
+    * resize GEOMETRY is real for every format and is independently
+    * recomputed by the DuckDB oracle from the header dims.
     */
   private val RasterTypes = Set("png", "jpg", "gif", "tiff", "bmp")
 

@@ -280,6 +280,162 @@ object ImageGen {
     b
   }
 
+  // ---- real-pixel JPEG (baseline, from-scratch encoder) ----
+
+  /** JPEG Annex K.3.1 luminance DC Huffman table (BITS, HUFFVAL). */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** JPEG Annex K.3.2 luminance AC Huffman table. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  private val JpegZigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** (code, length) per symbol, built canonically from (BITS, HUFFVAL) —
+    * the same construction JpegDecode inverts.
+    */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) {
+        out(vals(k)) = (code, l)
+        code += 1
+        k += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** Real-pixel baseline JPEG: uniform quant table (all 4 — high
+    * quality), Annex K luminance Huffman tables for every component,
+    * grayscale or 4:4:4 YCbCr with flat chroma (Cb=Cr=128 → zero
+    * blocks), H=V=1 sampling. `lumaOf(x, y)` supplies Y in 0..255.
+    */
+  def jpegReal(w: Int, h: Int, color: Boolean = false, restartEvery: Int = 0)(
+      lumaOf: (Int, Int) => Int): Array[Byte] = {
+    val q = 4
+    val dc = huffCodes(DcBits, DcVals)
+    val ac = huffCodes(AcBits, AcVals)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 512)
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      b(0xFF, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    b(0xFF, 0xD8) // SOI
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(q)) // DQT table 0
+    val nc = if (color) 3 else 1
+    seg(0xC0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      (1 to nc).flatMap(c => Seq(c, 0x11, 0))) // SOF0: H=V=1, quant 0
+    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals) // DHT DC 0
+    seg(0xC4, Array(0x10) ++ AcBits ++ AcVals) // DHT AC 0
+    if (restartEvery > 0) seg(0xDD, Array(restartEvery >> 8, restartEvery & 0xff)) // DRI
+    seg(0xDA, Array(nc) ++ (1 to nc).flatMap(c => Seq(c, 0x00)) ++ Seq(0, 63, 0))
+    // entropy writer: MSB-first, FF byte-stuffed
+    var cur = 0L
+    var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      cur = (cur << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val v = ((cur >> (nBits - 8)) & 0xff).toInt
+        out.write(v)
+        if (v == 0xFF) out.write(0x00)
+        nBits -= 8
+      }
+    }
+    def category(v: Int): Int = {
+      var t = 0
+      var a = math.abs(v)
+      while (a != 0) { t += 1; a >>= 1 }
+      t
+    }
+    def putMagnitude(v: Int, t: Int): Unit =
+      if (t > 0) put(if (v < 0) v + (1 << t) - 1 else v, t)
+    // forward DCT basis (StrictMath — mirrors the decoder's tables)
+    val cos = Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+      cu / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+    }
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val dcPred = new Array[Int](nc)
+    val block = new Array[Double](64)
+    val zz = new Array[Int](64)
+    var mcuNo = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartEvery > 0 && mcuNo > 0 && mcuNo % restartEvery == 0) {
+        // byte-align with 1-padding, then RSTn (n cycles 0..7); DC resets
+        if (nBits > 0) { val pad = 8 - nBits; put((1 << pad) - 1, pad) }
+        b(0xFF, 0xD0 + ((mcuNo / restartEvery - 1) % 8))
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      mcuNo += 1
+      for (ci <- 0 until nc) {
+      if (ci == 0) {
+        // forward DCT of the (edge-clamped) 8×8 luma block
+        for (v <- 0 until 8; u <- 0 until 8) {
+          var s = 0.0
+          for (y <- 0 until 8; x <- 0 until 8) {
+            val px = lumaOf(math.min(mx * 8 + x, w - 1), math.min(my * 8 + y, h - 1))
+            s += (px - 128.0) * cos(u)(x) * cos(v)(y)
+          }
+          block(v * 8 + u) = s
+        }
+        for (k <- 0 until 64)
+          zz(k) = StrictMath.round(block(JpegZigzag(k)) / q).toInt
+      } else java.util.Arrays.fill(zz, 0) // flat chroma: all-zero blocks
+      val diff = zz(0) - dcPred(ci)
+      dcPred(ci) = zz(0)
+      val t = category(diff)
+      val (dcode, dlen) = dc(t)
+      put(dcode, dlen)
+      putMagnitude(diff, t)
+      var k = 1
+      while (k < 64) {
+        var r = 0
+        while (k < 64 && zz(k) == 0) { r += 1; k += 1 }
+        if (k == 64) {
+          val (c0, l0) = ac(0x00) // EOB
+          put(c0, l0)
+        } else {
+          while (r > 15) { val (cz, lz) = ac(0xF0); put(cz, lz); r -= 16 } // ZRL
+          val s = category(zz(k))
+          val (c1, l1) = ac((r << 4) | s)
+          put(c1, l1)
+          putMagnitude(zz(k), s)
+          k += 1
+        }
+      }
+      }
+    }
+    if (nBits > 0) { val pad = 8 - nBits; put((1 << pad) - 1, pad) } // pad with 1-bits
+    b(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {

@@ -144,12 +144,48 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decodeLuma(ImageGen.tiff(30, 20)).isEmpty)
   }
 
-  test("thumbOf: PNG/BMP/GIF/TIFF thumbnails are the exact box-mean of the real pixels") {
+  test("JPEG: flat blocks decode EXACTLY; gradients within quantization tolerance") {
+    // flat image: DC-only blocks, quant 4 divides 8*(v-128) exactly → the
+    // whole decode chain (huffman, dequant, IDCT) must reproduce v
+    for (v <- Seq(0, 17, 128, 200, 255); color <- Seq(false, true)) {
+      val jpg = ImageGen.jpegReal(24, 16, color)((_, _) => v)
+      val img = PixelDecode.decodeLuma(jpg).get
+      assert(img.width == 24 && img.height == 16)
+      assert(img.luma.forall(b => (b & 0xff) == v), s"flat $v color=$color")
+    }
+    // smooth gradient: lossy, but with uniform quant 4 the per-pixel error
+    // is tightly bounded
+    val (w, h) = (41, 27) // non-multiple of 8 exercises edge-clamped blocks
+    def lum(x: Int, y: Int): Int = (x * 5 + y * 7) % 256
+    for (color <- Seq(false, true)) {
+      val img = PixelDecode.decodeLuma(ImageGen.jpegReal(w, h, color)(lum)).get
+      var worst = 0
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val e = math.abs((img.luma(y * w + x) & 0xff) - lum(x, y))
+        worst = math.max(worst, e)
+        sum += e
+      }
+      assert(worst <= 16, s"worst-case error $worst color=$color") // sharp wrap at 255->0 edges
+      assert(sum.toDouble / (w * h) <= 3.0, s"mean error ${sum.toDouble / (w * h)}")
+    }
+    // restart markers: DRI + RSTn every 3 MCUs, DC predictors reset —
+    // byte-identical to the no-restart decode of the same pixels
+    val plain = PixelDecode.decodeLuma(ImageGen.jpegReal(w, h)(lum)).get
+    val rst = PixelDecode.decodeLuma(
+      ImageGen.jpegReal(w, h, restartEvery = 3)(lum)).get
+    assert(rst.luma.sameElements(plain.luma), "restart-marker decode differs")
+    // the header-only JPEG fixture has no scan → undecodable → None
+    assert(PixelDecode.decodeLuma(ImageGen.jpeg(30, 20)).isEmpty)
+  }
+
+  test("thumbOf: PNG/BMP/GIF/TIFF/JPEG thumbnails are the exact box-mean of the real pixels") {
     val (w, h) = (40, 24)
     for (payload <- Seq(
         ImageGen.pngReal(w, h)(gradient), ImageGen.bmpReal(w, h)(gradient),
         ImageGen.gifReal(w, h, testPalette)((x, y) => (x + y) % 8),
-        ImageGen.tiffReal(w, h)(gradient))) {
+        ImageGen.tiffReal(w, h)(gradient),
+        ImageGen.jpegReal(w, h)((x, y) => (x * 4 + y * 6) % 250))) {
       val t = Multimodal.thumbOf(Page("img://x", null, payload, "", "en")).get
       assert(t.thumb_w == Multimodal.ThumbMax)
       assert(t.thumb_h == h * Multimodal.ThumbMax / w)

@@ -231,7 +231,7 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("pixel decode: total on corrupted PNG/BMP/GIF/TIFF payloads (never throws)") {
+  test("pixel decode: total on corrupted PNG/BMP/GIF/TIFF/JPEG payloads (never throws)") {
     import graft.kernel.PixelDecode
     import graft.sources.ImageGen
     val basePng = ImageGen.pngReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
@@ -239,8 +239,9 @@ class PropertiesSpec extends AnyFunSuite {
     val baseGif = ImageGen.gifReal(19, 11,
       (0 until 8).map(i => (i * 30, i * 20, i * 10)))((x, y) => (x + y) % 8)
     val baseTif = ImageGen.tiffReal(19, 11)((x, y) => ((x * 9) & 0xff, (y * 7) & 0xff, 50))
+    val baseJpg = ImageGen.jpegReal(19, 11, color = true)((x, y) => (x * 9 + y * 7) & 0xff)
     val corruption = for {
-      base <- Gen.oneOf(basePng, baseBmp, baseGif, baseTif)
+      base <- Gen.oneOf(basePng, baseBmp, baseGif, baseTif, baseJpg)
       nMut <- Gen.choose(1, 12)
       muts <- Gen.listOfN(nMut, Gen.zip(Gen.choose(0, base.length - 1), Gen.choose(0, 255)))
       cut <- Gen.choose(0, base.length)
@@ -262,6 +263,7 @@ class PropertiesSpec extends AnyFunSuite {
       PixelDecode.decodeLuma(Array('B'.toByte, 'M'.toByte) ++ garbage)
       PixelDecode.decodeLuma("GIF89a".getBytes("US-ASCII") ++ garbage)
       PixelDecode.decodeLuma(Array('I'.toByte, 'I'.toByte, 0x2A.toByte, 0.toByte) ++ garbage)
+      PixelDecode.decodeLuma(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++ garbage)
       true
     })
   }
