@@ -176,6 +176,33 @@ object SparkEntry {
         }
         out
       }),
+      "stream_interval_join" -> ((s, dir) => {
+        // stream-stream inner interval join (view→click attribution)
+        // with watermarks on both sides; AvailableNow drain == the batch
+        // join, which DuckDB recomputes relationally
+        val eventsFile = s"$dir/events.parquet"
+        val f = new java.io.File(eventsFile)
+        val staged =
+          if (f.isDirectory) eventsFile
+          else {
+            val d = java.nio.file.Files.createTempDirectory("graft_join_stream")
+            java.nio.file.Files.copy(f.toPath, d.resolve("events.parquet"))
+            d.toString
+          }
+        val name = "stream_ivjoin_" + java.lang.Long.toHexString(System.nanoTime())
+        graft.streaming.StreamingJoin.runAvailableNow(s, staged, name)
+        val out = s.table(name)
+          .orderBy(col("view_id"), col("click_id")).localCheckpoint()
+        s.catalog.dropTempView(name)
+        if (staged != eventsFile) {
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+            x.delete(): Unit
+          }
+          rm(new java.io.File(staged))
+        }
+        out
+      }),
       "stream_dedup_state" -> ((s, dir) => {
         // stateful streaming dedup (mapGroupsWithState): the corpus is
         // staged as 4 files and drained 2 files per micro-batch, so the
@@ -667,6 +694,7 @@ object SparkEntry {
       "text_chunks" -> TextAnalysis.textChunksSql,
       "text_length_quantiles" -> TextAnalysis.textLengthQuantilesSql,
       "text_lm_score" -> TextAnalysis.textLmScoreSql,
+      "stream_interval_join" -> graft.streaming.StreamingJoin.intervalJoinSql,
       "decontaminate" -> graft.operators.TrainingSet.decontaminateSql,
       "substring_dedup" -> graft.operators.TrainingSet.substringDedupSql,
       "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql
