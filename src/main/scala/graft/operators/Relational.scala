@@ -567,7 +567,87 @@ object Relational {
       | CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_seconds
       |FROM m GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin
 
+  /** Correlated EXISTS with a nested scalar subquery, through the SQL
+    * surface (spark.sql) so Catalyst's subquery decorrelation — EXISTS →
+    * left-semi, scalar subquery → single-row broadcast — is exercised as
+    * a USER would write it, not pre-rewritten by hand. At scale: the
+    * scalar avg is one tiny agg; the semi join shuffles on custkey.
+    */
+  def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "customer").createOrReplaceTempView("v_customer")
+    table(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, c_name FROM v_customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM v_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT avg(o_totalprice) FROM v_orders))
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val qExistsSubquerySql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+      |ORDER BY c_custkey""".stripMargin
+
+  /** LATERAL correlated subquery with per-key LIMIT (each customer's two
+    * most expensive orders) — the SQL-standard form of the window-topk
+    * pattern; Catalyst decorrelates it into a ranked window.
+    */
+  def qLateralTopk(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "customer").createOrReplaceTempView("v_customer")
+    table(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM v_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM v_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  val qLateralTopkSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  /** RANGE-frame window (value-based, not row-based): per event, how many
+    * of the same user's events fall in the trailing hour. One shuffle on
+    * user_id; the frame is epoch-second-based so both engines agree on
+    * floor-second boundaries.
+    */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("n_last_hour", count(lit(1)).over(w).cast("long"))
+      .select(col("user_id"), col("event_id"), col("n_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT user_id, event_id,
+      | CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+      |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+      |FROM (SELECT user_id, event_id,
+      |        date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS epoch_s
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q_exists_subquery", qExistsSubquery _, qExistsSubquerySql),
+    ("q_lateral_topk", qLateralTopk _, qLateralTopkSql),
+    ("q_window_range", qWindowRange _, qWindowRangeSql),
     ("q_asof_join", qAsofJoin _, qAsofJoinSql),
     ("q_range_join", qRangeJoin _, qRangeJoinSql),
     ("q_sessionize", qSessionize _, qSessionizeSql),
