@@ -188,6 +188,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("exists subquery: decorrelates to a broadcast semi join, scalar avg is one tiny agg") {
+    val plan = physicalPlan(Relational.qExistsSubquery(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lateral topk: decorrelates to WindowGroupLimit (rank pushed below the shuffle)") {
+    val plan = physicalPlan(Relational.qLateralTopk(spark, "/root/testdata/sf0.001"))
+    // the per-key LIMIT must become a window-rank with partial group-limit
+    // BEFORE the exchange — not a per-row nested-loop subquery
+    assert(plan.contains("WindowGroupLimit"), s"no partial group limit:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("range-frame window: one user_id shuffle, RangeFrame in the window spec") {
+    val plan = physicalPlan(Relational.qWindowRange(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("RangeFrame"), s"frame must be RANGE, not ROWS:\n$plan")
+    val keyExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(keyExchanges == 1, s"expected one user_id shuffle, got $keyExchanges:\n$plan")
+  }
+
   test("aqe: skewed sort-merge join is split at runtime (skew=true in final plan)") {
     import spark.implicits._
     val conf = spark.conf
