@@ -239,7 +239,11 @@ object Bench {
         // host noise plus ~8 s of fixed job-launch cost per run. Every
         // rep recomputes the full signature→band→verify chain; per-rep
         // times are reported alongside the min so variance is visible.
-        val dedupReps = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", reps.toString).toInt
+        // floor of 1: sibling knobs use 0 to DISABLE, but here 0 reps would
+        // leave repSecs empty and .min throw after all the timing work —
+        // disabling this block is SPARK_GRAFT_DEDUP_BENCH=0
+        val dedupReps = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPS", reps.toString).toInt)
         var nPairs = 0L
         var nFound = 0L
         val repSecs = (1 to dedupReps).map { _ =>

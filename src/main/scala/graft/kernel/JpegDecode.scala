@@ -266,10 +266,15 @@ object JpegDecode {
   }
 
   private def entropyScan(
-      b: Array[Byte], start: Int, w: Int, h: Int, comps: Array[Comp],
+      b: Array[Byte], start: Int, w: Int, h: Int, compsIn: Array[Comp],
       quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
       scanDc: Array[Int], scanAc: Array[Int],
       restartInterval: Int): Option[PixelDecode.Luma] = {
+    // ITU T.81 A.2: a SINGLE-component scan is non-interleaved — the MCU
+    // is one 8×8 block and the declared sampling factors do NOT tile the
+    // scan (grayscale JPEGs commonly declare 2×2 sampling anyway)
+    val comps =
+      if (compsIn.length == 1) Array(compsIn(0).copy(h = 1, v = 1)) else compsIn
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     if (hMax < 1 || hMax > 4 || vMax < 1 || vMax > 4) return None

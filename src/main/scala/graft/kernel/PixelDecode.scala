@@ -145,7 +145,7 @@ object PixelDecode {
       }
       if (off < raw.length) return None
     } finally inf.end()
-    unfilter(raw, wi, hi, channels)
+    if (!unfilter(raw, wi, hi, channels)) return None
     // luma projection
     val out = new Array[Byte](wi * hi)
     var y = 0
@@ -172,15 +172,18 @@ object PixelDecode {
 
   /** In-place reversal of the five PNG scanline filters (spec §9): each
     * row starts with its filter-type byte; a/b/c are the Sub/Up/Average/
-    * Paeth predictors over already-reconstructed bytes.
+    * Paeth predictors over already-reconstructed bytes. Returns false on
+    * a filter type > 4 — that's a corrupt stream per the spec, and the
+    * contract is malformed → None, not Some(garbage).
     */
-  private def unfilter(raw: Array[Byte], w: Int, h: Int, channels: Int): Unit = {
+  private def unfilter(raw: Array[Byte], w: Int, h: Int, channels: Int): Boolean = {
     val rowBytes = 1 + w * channels
     val bpp = channels
     var y = 0
     while (y < h) {
       val ro = y * rowBytes
       val ft = raw(ro) & 0xff
+      if (ft > 4) return false
       var i = 1
       while (i <= w * channels) {
         val x = raw(ro + i) & 0xff
@@ -192,17 +195,17 @@ object PixelDecode {
           case 1 => x + a
           case 2 => x + b
           case 3 => x + ((a + b) >> 1)
-          case 4 =>
+          case _ =>
             val p = a + b - c
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case _ => x // unknown filter: pass through (parse stays total)
         }
         raw(ro + i) = v.toByte
         i += 1
       }
       y += 1
     }
+    true
   }
 
   // ------------------------------------------------------------------
@@ -410,14 +413,16 @@ object PixelDecode {
     val wi = w.toInt; val hi = h.toInt
     val rowBytes = wi * spp.toInt
     val rowsPerStrip = if (rps <= 0) hi.toLong else rps
-    // concatenate strips into the raster
+    // concatenate strips into the raster. All arithmetic in Long first:
+    // RowsPerStrip's spec default is 2^32-1 ("one strip"), which would
+    // truncate negative as an Int product
     val raster = new Array[Byte](rowBytes * hi)
     var filled = 0
     var s = 0
     while (s < stripOffs.length && filled < raster.length) {
       val so = stripOffs(s)
-      val want = math.min(raster.length - filled,
-        (rowsPerStrip * rowBytes).toInt)
+      val want = math.min((raster.length - filled).toLong,
+        rowsPerStrip * rowBytes).toInt
       val len = if (stripLens != null && s < stripLens.length)
         math.min(stripLens(s), want.toLong).toInt else want
       if (so < 0 || so + len > b.length) return None

@@ -68,6 +68,10 @@ object TrainingSet {
     val (donors, planted) = contamCorpus(docs)
     val corpus = docs.unionAll(planted)
       .join(donors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      // fixture-parallelism restore ONLY (the smoke documents table is one
+      // parquet file → one scan partition; see Dedup.corpus). At scale the
+      // input arrives as thousands of splittable files and this repartition
+      // is dropped — the gram-match path itself never needs a text shuffle.
       .repartition(s.sparkContext.defaultParallelism)
     val benchGrams = donors
       .select(explode(gramsExpr(Dedup.tokensCol(col("snippet")), NGram)).as("gram"))

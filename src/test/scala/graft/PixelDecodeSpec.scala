@@ -199,6 +199,57 @@ class PixelDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: single-component scan is non-interleaved (declared 2x2 sampling ignored)") {
+    // T.81 A.2: grayscale scans have MCU = one block regardless of the
+    // SOF sampling factors; patch the encoder's 1x1 declaration to 2x2
+    // and the decode must be unchanged
+    val (w, h) = (24, 16)
+    def lum(x: Int, y: Int): Int = (x * 6 + y * 11) % 256
+    val plain = ImageGen.jpegReal(w, h)(lum)
+    val patched = plain.clone()
+    val sof = (0 until patched.length - 1).find(i =>
+      (patched(i) & 0xff) == 0xFF && (patched(i + 1) & 0xff) == 0xC0).get
+    assert((patched(sof + 11) & 0xff) == 0x11) // comp 0 sampling byte
+    patched(sof + 11) = 0x22.toByte
+    val a = PixelDecode.decodeLuma(plain).get
+    val b = PixelDecode.decodeLuma(patched).get
+    assert(b.width == w && b.height == h)
+    assert(b.luma.sameElements(a.luma), "2x2-declared grayscale must decode identically")
+  }
+
+  test("TIFF: RowsPerStrip of 2^32-1 (the spec default, one strip) decodes") {
+    val (w, h) = (9, 6)
+    val tif = ImageGen.tiffReal(w, h, rowsPerStrip = 64)(gradient) // single strip
+    // patch tag 278 (RowsPerStrip, LONG) to 0xFFFFFFFF
+    val patched = tif.clone()
+    val ti = (0 until patched.length - 3).find(i =>
+      (patched(i) & 0xff) == 0x16 && (patched(i + 1) & 0xff) == 0x01 &&
+        (patched(i + 2) & 0xff) == 0x04).get
+    for (k <- 0 until 4) patched(ti + 8 + k) = 0xFF.toByte
+    val img = PixelDecode.decodeLuma(patched).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = gradient(x, y)
+      assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b))
+    }
+  }
+
+  test("PNG: an out-of-range filter type is malformed -> None, not garbage pixels") {
+    val png = ImageGen.pngReal(6, 4)(gradient)
+    // rebuild with the first row's filter byte set to 5 (invalid per spec 9.2)
+    val raw = new Array[Byte](4 * (1 + 6 * 3))
+    for (y <- 0 until 4) {
+      raw(y * (1 + 18)) = if (y == 0) 5.toByte else 0.toByte
+      for (x <- 0 until 6) {
+        val (r, g, b) = gradient(x, y)
+        raw(y * 19 + 1 + x * 3) = r.toByte
+        raw(y * 19 + 2 + x * 3) = g.toByte
+        raw(y * 19 + 3 + x * 3) = b.toByte
+      }
+    }
+    assert(PixelDecode.decodeLuma(buildPng(6, 4, colorType = 2, raw)).isEmpty)
+    assert(PixelDecode.decodeLuma(png).nonEmpty) // control
+  }
+
   test("out-of-scope and malformed payloads fall back, never throw") {
     // header-only fixture (no IDAT): undecodable → thumbOf still yields the
     // deterministic fake with correct geometry

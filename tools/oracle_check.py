@@ -23,9 +23,15 @@ def table_key(rows, cols):
 # a DuckDB HUGEINT (arrow decimal128) vs a Spark BIGINT (int64) fails there
 # even when every value prints identically. Mirror that by comparing the
 # Arrow schema types per (name-sorted) column before the value comparison.
-def arrow_types(rel):
+# Each relation is fetched as Arrow ONCE — rows and schema both derive from
+# the same table (re-running heavy oracles like substring_dedup twice would
+# double the wall time).
+def fetch(rel):
     tbl = rel.arrow()
-    return {f.name: str(f.type) for f in tbl.schema}
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    types = {f.name: str(f.type) for f in tbl.schema}
+    return cols, rows, types
 
 import re as _re
 
@@ -47,14 +53,10 @@ fails = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        spark_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        scols, srows = [d[0] for d in spark_rel.description], spark_rel.fetchall()
-        duck_rel = con.sql(sql)
-        dcols, drows = [d[0] for d in duck_rel.description], duck_rel.fetchall()
+        scols, srows, stypes = fetch(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+        dcols, drows, dtypes = fetch(con.sql(sql))
         if sorted(scols) != sorted(dcols):
             print(f'FAIL {name}: cols {sorted(scols)} vs {sorted(dcols)}'); fails += 1; continue
-        stypes = arrow_types(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
-        dtypes = arrow_types(con.sql(sql))
         skew = {c: (stypes[c], dtypes[c]) for c in stypes
                 if not compatible_type(stypes[c], dtypes.get(c, ''))}
         if skew:
