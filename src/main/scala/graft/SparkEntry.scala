@@ -359,7 +359,8 @@ object SparkEntry {
       // ---- training-set assembly ----
       "decontaminate" -> ((s, dir) => graft.operators.TrainingSet.decontaminate(s, dir)),
       "substring_dedup" -> ((s, dir) => graft.operators.TrainingSet.substringDedup(s, dir)),
-      "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir))
+      "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir)),
+      "corpus_pack" -> ((s, dir) => graft.operators.TrainingSet.corpusPack(s, dir))
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -697,7 +698,8 @@ object SparkEntry {
       "stream_interval_join" -> graft.streaming.StreamingJoin.intervalJoinSql,
       "decontaminate" -> graft.operators.TrainingSet.decontaminateSql,
       "substring_dedup" -> graft.operators.TrainingSet.substringDedupSql,
-      "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql
+      "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql,
+      "corpus_pack" -> graft.operators.TrainingSet.corpusPackSql
     ) ++ extractionOracles
   }
 }

@@ -174,6 +174,87 @@ object TrainingSet {
        |FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
        |ORDER BY h.doc_id""".stripMargin
 
+  // ---- sequence packing ----
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 256
+  /** Pack-group fanout (the unit of packing parallelism). */
+  val PackBuckets = 32
+
+  /** Greedy sequence packing — the step that turns a deduped corpus into
+    * fixed-length pretraining examples: docs are assigned to
+    * `PackBuckets` hash groups, and WITHIN each group packed greedily in
+    * doc_id order into sequences of at most `PackBudget` tokens (docs
+    * longer than the budget are truncated to it; no doc splits across
+    * sequences). Per-group determinism makes the packing reproducible at
+    * any cluster size AND lets the DuckDB oracle replay it exactly with
+    * a recursive CTE — a global greedy pack would depend on partition
+    * layout.
+    *
+    * Shape at scale: one shuffle on the pack bucket, then a sorted fold
+    * per group (`mapGroups`); sequences never materialize doc text, only
+    * counts. Output: one row per packed sequence.
+    */
+  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"),
+        least(size(Dedup.tokensCol(col("text"))), lit(PackBudget)).as("n_tok"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(PackBuckets.toLong)))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (bucket, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var seq = 0L
+        var fill = 0L
+        var nDocs = 0L
+        docs.foreach { case (_, tok, _) =>
+          if (nDocs > 0 && fill + tok > PackBudget) {
+            out += ((bucket, seq, nDocs, fill))
+            seq += 1; fill = 0L; nDocs = 0L
+          }
+          fill += tok; nDocs += 1
+        }
+        if (nDocs > 0) out += ((bucket, seq, nDocs, fill))
+        out.toSeq
+      }
+      .flatMap(identity)
+      .toDF("bucket", "seq_no", "n_docs", "n_tokens")
+      .withColumn("fill_frac", round(col("n_tokens") / lit(PackBudget.toDouble), 3))
+      .orderBy(col("bucket"), col("seq_no"))
+  }
+
+  /** DuckDB replay: linear recursion over row_number per bucket with a
+    * capacity-reset fold — the same greedy rule, then sequences
+    * re-aggregated from the per-doc assignment.
+    */
+  def corpusPackSql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, doc_id % $PackBuckets AS bucket,
+       |  least(len(regexp_extract_all(lower(text), '[a-z0-9]+')), $PackBudget) AS n_tok
+       | FROM documents),
+       |ordered AS (
+       | SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+       | FROM toks),
+       |rec AS (
+       | WITH RECURSIVE walk(bucket, rn, seq_no, fill, n_tok) AS (
+       |   SELECT bucket, rn, 0::BIGINT, n_tok::BIGINT, n_tok FROM ordered WHERE rn = 1
+       |   UNION ALL
+       |   SELECT o.bucket, o.rn,
+       |    CASE WHEN w.fill + o.n_tok > $PackBudget THEN w.seq_no + 1 ELSE w.seq_no END,
+       |    CASE WHEN w.fill + o.n_tok > $PackBudget THEN o.n_tok::BIGINT
+       |         ELSE w.fill + o.n_tok END,
+       |    o.n_tok
+       |   FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+       | )
+       | SELECT * FROM walk)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, seq_no,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       | round(sum(n_tok) / ${PackBudget.toDouble}, 3) AS fill_frac
+       |FROM rec GROUP BY bucket, seq_no ORDER BY bucket, seq_no""".stripMargin
+
   // ---- temperature-based corpus mixing ----
 
   /** Sampling temperature (mT5/XLM-R-style α). */

@@ -225,6 +225,33 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_pack: budget respected, sequences contiguous, every doc packed once") {
+    import graft.operators.TrainingSet
+    val rows = SparkEntry.queries("corpus_pack")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nDocs, nTok, frac) =>
+      assert(nTok <= TrainingSet.PackBudget) // no sequence over budget
+      assert(nDocs >= 1)
+      assert(frac == math.round(nTok.toDouble / TrainingSet.PackBudget * 1000) / 1000.0)
+    }
+    // per bucket: seq numbers are 0..k contiguous
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      val seqs = rs.map(_._2).sorted
+      assert(seqs.sameElements(seqs.indices.map(_.toLong)), s"bucket $b seqs")
+    }
+    // conservation: every document lands in exactly one sequence
+    val packed = rows.map(_._3).sum
+    val total = graft.operators.Relational.table(spark, sf0001, "documents").count()
+    assert(packed == total)
+    // greedy density: a sequence only closes because the next doc would
+    // not fit, so all but each bucket's last sequence are > half full
+    // when docs are <= budget/2... weaker universal check: mean fill is
+    // meaningfully dense, not one-doc-per-sequence
+    val meanDocs = rows.map(_._3).sum.toDouble / rows.length
+    assert(meanDocs > 1.5, s"packing degenerated to ~1 doc/seq ($meanDocs)")
+  }
+
   test("corpus_mix: temperature weights sum to 1 and boost is inverse to size") {
     val rows = SparkEntry.queries("corpus_mix")(spark, sf0001)
       .as[(String, Long, Double, Double, Double)].collect()
