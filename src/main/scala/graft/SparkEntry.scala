@@ -53,6 +53,29 @@ object SparkEntry {
     s"/tmp/graft_oracle/${f.getName}_$h"
   }
 
+  /** Recursive delete of a local temp tree. */
+  private def rmTree(path: String): Unit = {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
+      x.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Streaming file sources need a DIRECTORY; the testdata tables are
+    * single parquet files. Stage the file into a temp dir for `body`,
+    * then remove the staging copy; a directory input passes through.
+    */
+  private def withStagedParquet[A](file: String, prefix: String)(body: String => A): A = {
+    val f = new java.io.File(file)
+    if (f.isDirectory) body(file)
+    else {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+      try body(d.toString) finally rmTree(d.toString)
+    }
+  }
+
   private val matCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
   private def materialize(s: SparkSession, path: String)(df: => DataFrame): DataFrame = {
     matCache.getOrElseUpdate(path, {
@@ -153,55 +176,27 @@ object SparkEntry {
         // flatMapGroupsWithState gap sessionization: closed streaming
         // sessions == batch q_sessionize minus each user's (still-open)
         // last session — DuckDB recomputes that relationally
-        val eventsFile = s"$dir/events.parquet"
-        val f = new java.io.File(eventsFile)
-        val staged =
-          if (f.isDirectory) eventsFile
-          else {
-            val d = java.nio.file.Files.createTempDirectory("graft_sess_stream")
-            java.nio.file.Files.copy(f.toPath, d.resolve("events.parquet"))
-            d.toString
-          }
-        val name = "stream_sessionize_" + java.lang.Long.toHexString(System.nanoTime())
-        graft.streaming.StreamingSessionize.runAvailableNow(s, staged, name)
-        val out = s.table(name)
-          .orderBy(col("user_id"), col("session_seq")).localCheckpoint()
-        s.catalog.dropTempView(name)
-        if (staged != eventsFile) {
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-            x.delete(): Unit
-          }
-          rm(new java.io.File(staged))
+        withStagedParquet(s"$dir/events.parquet", "graft_sess_stream") { staged =>
+          val name = "stream_sessionize_" + java.lang.Long.toHexString(System.nanoTime())
+          graft.streaming.StreamingSessionize.runAvailableNow(s, staged, name)
+          val out = s.table(name)
+            .orderBy(col("user_id"), col("session_seq")).localCheckpoint()
+          s.catalog.dropTempView(name)
+          out
         }
-        out
       }),
       "stream_interval_join" -> ((s, dir) => {
         // stream-stream inner interval join (view→click attribution)
         // with watermarks on both sides; AvailableNow drain == the batch
         // join, which DuckDB recomputes relationally
-        val eventsFile = s"$dir/events.parquet"
-        val f = new java.io.File(eventsFile)
-        val staged =
-          if (f.isDirectory) eventsFile
-          else {
-            val d = java.nio.file.Files.createTempDirectory("graft_join_stream")
-            java.nio.file.Files.copy(f.toPath, d.resolve("events.parquet"))
-            d.toString
-          }
-        val name = "stream_ivjoin_" + java.lang.Long.toHexString(System.nanoTime())
-        graft.streaming.StreamingJoin.runAvailableNow(s, staged, name)
-        val out = s.table(name)
-          .orderBy(col("view_id"), col("click_id")).localCheckpoint()
-        s.catalog.dropTempView(name)
-        if (staged != eventsFile) {
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) Option(x.listFiles).foreach(_.foreach(rm))
-            x.delete(): Unit
-          }
-          rm(new java.io.File(staged))
+        withStagedParquet(s"$dir/events.parquet", "graft_join_stream") { staged =>
+          val name = "stream_ivjoin_" + java.lang.Long.toHexString(System.nanoTime())
+          graft.streaming.StreamingJoin.runAvailableNow(s, staged, name)
+          val out = s.table(name)
+            .orderBy(col("view_id"), col("click_id")).localCheckpoint()
+          s.catalog.dropTempView(name)
+          out
         }
-        out
       }),
       "stream_dedup_state" -> ((s, dir) => {
         // stateful streaming dedup (mapGroupsWithState): the corpus is
@@ -217,11 +212,7 @@ object SparkEntry {
           s, s"$base/docs", name, maxFilesPerTrigger = Some(2))
         val out = graft.streaming.StreamingDedup.resolve(s, name).localCheckpoint()
         s.catalog.dropTempView(name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        rmTree(base)
         out
       }),
       "extract_profiles" -> ((s, dir) => {

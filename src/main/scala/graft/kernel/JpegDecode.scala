@@ -129,15 +129,17 @@ object JpegDecode {
     }
   }
 
-  private val Zigzag: Array[Int] = Array(
+  /** Zigzag scan order (shared with the fixture encoder in ImageGen). */
+  private[graft] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  // IDCT basis: cosTab(u)(x) = c(u)/2 * cos((2x+1)uπ/16), StrictMath for
-  // cross-platform bit-identical tables
-  private val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+  /** DCT basis: cosTab(u)(x) = c(u)/2 * cos((2x+1)uπ/16), StrictMath for
+    * cross-platform bit-identical tables (shared with the fixture encoder).
+    */
+  private[graft] val CosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
     val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
     cu / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
   }
@@ -231,6 +233,7 @@ object JpegDecode {
               w > MergeSpec.MaxImageDim || h > MergeSpec.MaxImageDim) return None
             val nc = u8(b, seg + 5)
             if (nc != 1 && nc != 3) return None
+            if (seg + 6 + nc * 3 > segEnd) return None // specs must fit the segment
             comps = Array.tabulate(nc) { c =>
               val p = seg + 6 + c * 3
               Comp(u8(b, p), u8(b, p + 1) >> 4, u8(b, p + 1) & 15, u8(b, p + 2))
@@ -243,6 +246,7 @@ object JpegDecode {
             if (comps == null || w < 0) return None
             val ns = u8(b, seg)
             if (ns != comps.length) return None // single interleaved scan only
+            if (seg + 1 + ns * 2 + 3 > segEnd) return None // specs must fit the segment
             val scanDc = new Array[Int](comps.length)
             val scanAc = new Array[Int](comps.length)
             var c = 0

@@ -304,11 +304,9 @@ object ImageGen {
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
-  private val JpegZigzag = Array(
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+  // zigzag order and DCT basis are SHARED with the decoder
+  // (graft.kernel.JpegDecode.Zigzag / CosTab) — one source of truth
+  private def JpegZigzag = graft.kernel.JpegDecode.Zigzag
 
   /** (code, length) per symbol, built canonically from (BITS, HUFFVAL) —
     * the same construction JpegDecode inverts.
@@ -374,11 +372,7 @@ object ImageGen {
     }
     def putMagnitude(v: Int, t: Int): Unit =
       if (t > 0) put(if (v < 0) v + (1 << t) - 1 else v, t)
-    // forward DCT basis (StrictMath — mirrors the decoder's tables)
-    val cos = Array.tabulate(8, 8) { (u, x) =>
-      val cu = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
-      cu / 2.0 * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
-    }
+    val cos = graft.kernel.JpegDecode.CosTab
     val mcusX = (w + 7) / 8
     val mcusY = (h + 7) / 8
     val dcPred = new Array[Int](nc)
@@ -395,13 +389,15 @@ object ImageGen {
       mcuNo += 1
       for (ci <- 0 until nc) {
       if (ci == 0) {
-        // forward DCT of the (edge-clamped) 8×8 luma block
+        // sample the edge-clamped 8×8 luma block ONCE, then forward-DCT it
+        val samp = new Array[Double](64)
+        for (y <- 0 until 8; x <- 0 until 8)
+          samp(y * 8 + x) =
+            lumaOf(math.min(mx * 8 + x, w - 1), math.min(my * 8 + y, h - 1)) - 128.0
         for (v <- 0 until 8; u <- 0 until 8) {
           var s = 0.0
-          for (y <- 0 until 8; x <- 0 until 8) {
-            val px = lumaOf(math.min(mx * 8 + x, w - 1), math.min(my * 8 + y, h - 1))
-            s += (px - 128.0) * cos(u)(x) * cos(v)(y)
-          }
+          for (y <- 0 until 8; x <- 0 until 8)
+            s += samp(y * 8 + x) * cos(u)(x) * cos(v)(y)
           block(v * 8 + u) = s
         }
         for (k <- 0 until 64)

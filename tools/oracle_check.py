@@ -29,7 +29,10 @@ def table_key(rows, cols):
 def fetch(rel):
     tbl = rel.arrow()
     cols = tbl.column_names
-    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    # positional extraction (NOT to_pylist dicts): duplicate column names
+    # must keep their own values, mirroring the driver's column handling
+    col_vals = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*col_vals)) if col_vals else []
     types = {f.name: str(f.type) for f in tbl.schema}
     return cols, rows, types
 
