@@ -62,9 +62,38 @@ object Fuzz {
       spanChecked += res.spans.length
       // 3. pdf content scanner totality
       PdfParser.contentText(b)
+      // 4. pixel decoders: corrupt a valid raster payload (mutations +
+      // truncation) — decodeLuma must stay total on every format
+      if (i % 4 == 0) {
+        val base = pixelBases(rnd.nextInt(pixelBases.length))
+        val mut = java.util.Arrays.copyOf(base, 1 + rnd.nextInt(base.length))
+        var m = 0
+        val nMut = 1 + rnd.nextInt(12)
+        while (m < nMut) {
+          mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+          m += 1
+        }
+        graft.kernel.PixelDecode.decodeLuma(mut) // throwing is the failure
+        pixelChecked += 1
+      }
       i += 1
     }
     println(s"[fuzz] OK: $n cases, $tokenizerChecked tokenizer-parity checks, " +
-      s"$spanChecked spans validated, 0 divergences")
+      s"$spanChecked spans validated, $pixelChecked pixel corruptions decoded-or-rejected, " +
+      "0 divergences")
+  }
+
+  private var pixelChecked = 0L
+
+  /** One valid real-pixel payload per raster format (corruption seeds). */
+  private lazy val pixelBases: Array[Array[Byte]] = {
+    import graft.sources.ImageGen
+    def px(x: Int, y: Int) = ((x * 9) & 0xff, (y * 7) & 0xff, 50)
+    Array(
+      ImageGen.pngReal(23, 17)(px),
+      ImageGen.bmpReal(23, 17)(px),
+      ImageGen.gifReal(23, 17, (0 until 8).map(i => (i * 30, i * 20, i * 10)))((x, y) => (x + y) % 8),
+      ImageGen.tiffReal(23, 17)(px),
+      ImageGen.jpegReal(23, 17, color = true)((x, y) => (x * 9 + y * 7) & 0xff))
   }
 }
