@@ -77,6 +77,13 @@ object SparkEntry {
   }
 
   private val matCache = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** One-shot side-effect staging (non-parquet formats) memoized per
+    * path, like materialize.
+    */
+  private def stageOnce(path: String)(write: => Unit): Unit =
+    matCache.getOrElseUpdate(path, write)
+
   private def materialize(s: SparkSession, path: String)(df: => DataFrame): DataFrame = {
     matCache.getOrElseUpdate(path, {
       df.write.mode("overwrite").parquet(path)
@@ -351,7 +358,43 @@ object SparkEntry {
       "decontaminate" -> ((s, dir) => graft.operators.TrainingSet.decontaminate(s, dir)),
       "substring_dedup" -> ((s, dir) => graft.operators.TrainingSet.substringDedup(s, dir)),
       "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir)),
-      "corpus_pack" -> ((s, dir) => graft.operators.TrainingSet.corpusPack(s, dir))
+      "corpus_pack" -> ((s, dir) => graft.operators.TrainingSet.corpusPack(s, dir)),
+      // ---- non-parquet sources: the SAME staged files are read by both
+      // engines with their own CSV/JSON readers, so the formats' parsing
+      // (headers, types, nulls) is cross-engine-verified, not just the
+      // relational logic downstream ----
+      "q_csv_source" -> ((s, dir) => {
+        val path = s"${oracleBase(dir)}/staged_nation_csv"
+        stageOnce(path) {
+          Relational.table(s, dir, "nation")
+            .orderBy(col("n_nationkey")).coalesce(1)
+            .write.mode("overwrite").option("header", "true").csv(path)
+        }
+        val nation = s.read
+          .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+          .option("header", "true").csv(path)
+        nation.join(broadcast(Relational.table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("n_name")).as("first_nation"))
+          .orderBy(col("r_name"))
+      }),
+      "q_json_source" -> ((s, dir) => {
+        val path = s"${oracleBase(dir)}/staged_supplier_json"
+        stageOnce(path) {
+          Relational.table(s, dir, "supplier")
+            .orderBy(col("s_suppkey")).coalesce(1)
+            .write.mode("overwrite").json(path)
+        }
+        s.read
+          .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE")
+          .json(path)
+          .groupBy((col("s_nationkey") % 5).as("nation_mod"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("s_acctbal")), 2).as("total_acctbal"))
+          .orderBy(col("nation_mod"))
+      })
     )
     val relational = Relational.all.map { case (name, fn, _) =>
       name -> fn
@@ -690,7 +733,23 @@ object SparkEntry {
       "decontaminate" -> graft.operators.TrainingSet.decontaminateSql,
       "substring_dedup" -> graft.operators.TrainingSet.substringDedupSql,
       "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql,
-      "corpus_pack" -> graft.operators.TrainingSet.corpusPackSql
+      "corpus_pack" -> graft.operators.TrainingSet.corpusPackSql,
+      // non-parquet sources: DuckDB reads the SAME staged files with ITS
+      // OWN csv/json readers — format parsing is cross-engine-verified
+      "q_csv_source" ->
+        s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
+           | min(n.n_name) AS first_nation
+           |FROM read_csv('$b/staged_nation_csv/*.csv', header=true,
+           |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT'}) n
+           |JOIN region r ON r.r_regionkey = n.n_regionkey
+           |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+      "q_json_source" ->
+        s"""SELECT s_nationkey % 5 AS nation_mod,
+           | CAST(count(*) AS BIGINT) AS n_suppliers,
+           | round(sum(s_acctbal), 2) AS total_acctbal
+           |FROM read_json('$b/staged_supplier_json/*.json',
+           |  columns={'s_suppkey':'BIGINT','s_name':'VARCHAR','s_nationkey':'BIGINT','s_acctbal':'DOUBLE'})
+           |GROUP BY 1 ORDER BY nation_mod""".stripMargin
     ) ++ extractionOracles
   }
 }
