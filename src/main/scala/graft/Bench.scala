@@ -110,7 +110,13 @@ object Bench {
     // run of a pair skews at most that pair's ratio, not the headline.
     // Per-level rates are still best-of (min time), matching the
     // headline-pass methodology.
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "5").toInt
+    // 9 pairs (was 5 through round 4): the host's noise band is ±25%+ on
+    // single runs, and with 5 pairs one bad window could still drag the
+    // median below the ≥0.8 gate (round 4 recorded 0.743 while the same
+    // build's interleaved reruns read 0.93-1.01). More pairs + the
+    // trimmed median below make a single outlier diagnosable AND
+    // harmless; the full per-pair list is published in the JSON.
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "9").toInt
     def timeAt(cpus: Int, warm: Boolean): Double = {
       val s = session(cpus)
       if (warm) extractRun(s) // JIT warmup, untimed (first visit per level)
@@ -124,8 +130,20 @@ object Bench {
     if (doScaling) {
       var k = 0
       while (k < scaleReps) {
-        val tLo = timeAt(lo, warm = k == 0)
-        val tMid = if (mid != lo) timeAt(mid, warm = k == 0) else tLo
+        // alternate which level runs first inside each pair: a monotone
+        // ambient-load drift then biases half the pairs up and half down
+        // instead of all one way
+        val loFirst = k % 2 == 0
+        var tLo = 0.0
+        var tMid = 0.0
+        if (loFirst) {
+          tLo = timeAt(lo, warm = k == 0)
+          tMid = if (mid != lo) timeAt(mid, warm = k == 0) else tLo
+        } else {
+          tMid = if (mid != lo) timeAt(mid, warm = false) else 0.0
+          tLo = timeAt(lo, warm = false)
+          if (mid == lo) tMid = tLo
+        }
         tLoBest = math.min(tLoBest, tLo)
         tMidBest = math.min(tMidBest, tMid)
         if (mid != lo) pairEffs += (tLo / tMid) / (mid.toDouble / lo)
@@ -148,22 +166,29 @@ object Bench {
       "ann_bruteforce", "ann_lsh", "ann_ivfpq", "text_stats", "text_quality",
       "para_scrub", "text_repetition", "text_pii", "text_chunks",
       "text_lm_score", "q_asof_join", "q_sessionize",
-      "decontaminate", "substring_dedup")
+      "decontaminate", "substring_dedup", "substring_dedup_hashed",
+      "corpus_pack")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation
     // entirely (warm, reading the materialization back). Time the RAW
     // operators instead — the full computation, every run, comparable to
     // the round-1 numbers.
+    // ann_ivfpq: the IVF cells/probes and PQ codes are an INDEX — built
+    // once, queried many times (the FAISS serving shape). Materialize
+    // them outside the timing loop so the reported latency is the
+    // retrieval leg alone (ADC scan + shortlist + exact re-rank), not
+    // index build + retrieval conflated (round-4 advice).
+    val ivfCellsMat = graft.operators.Similarity.annIvfCells(sHi, sfDir).localCheckpoint()
+    val ivfProbesMat = graft.operators.Similarity.annIvfProbes(sHi, sfDir).localCheckpoint()
+    val pqPairsMat = graft.operators.Pq.pqPairs(sHi, sfDir).localCheckpoint()
     val rawOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "dedup_minhash_lsh" -> ((s, d) => graft.operators.Dedup.dedupMinhashLsh(s, d)),
       "dedup_simhash" -> ((s, d) => graft.operators.Dedup.dedupSimhash(s, d)),
       "ann_lsh" -> ((s, d) => graft.operators.Similarity.annLsh(s, d)),
       "ann_ivf" -> ((s, d) => graft.operators.Similarity.annIvf(s, d)),
       "ann_ivfpq" -> ((s, d) => graft.operators.Similarity.annIvfPqFrom(s, d,
-        graft.operators.Similarity.annIvfCells(s, d),
-        graft.operators.Similarity.annIvfProbes(s, d),
-        graft.operators.Pq.pqPairs(s, d))))
+        ivfCellsMat, ivfProbesMat, pqPairsMat)))
     val queryTimes = secondary.map { name =>
       val fn = rawOps.getOrElse(name, SparkEntry.queries(name))
       // warm-up excludes JIT (matches the extract pass methodology)
@@ -291,10 +316,23 @@ object Bench {
     }
     rmrf(new java.io.File(base))
 
-    // efficiency over the N→4N pair (lo → mid): median of the paired
-    // per-rep ratios (see the scaling-pass comment); hi is the headline
-    val eff = if (pairEffs.nonEmpty) pairEffs.sorted.apply(pairEffs.length / 2)
-    else -1.0
+    // efficiency over the N→4N pair (lo → mid): TRIMMED median of the
+    // paired per-rep ratios — with ≥5 pairs the single best and worst
+    // pair are dropped before taking the median, so one noise-burst pair
+    // (in either direction) cannot move the headline. The raw per-pair
+    // list, its extremes, and a best-of-times cross-check all go into
+    // the JSON so an outlier is diagnosable from the artifact alone.
+    val sortedEffs = pairEffs.sorted.toIndexedSeq
+    val trimmedEffs =
+      if (sortedEffs.length >= 5) sortedEffs.slice(1, sortedEffs.length - 1)
+      else sortedEffs
+    val eff = if (trimmedEffs.nonEmpty) trimmedEffs(trimmedEffs.length / 2) else -1.0
+    // second estimator: ratio of per-level minima across all interleaved
+    // reps — robust whenever at least one rep per level dodged the noise
+    val effBestOf =
+      if (doScaling && mid != lo && tMidBest.isFinite)
+        (tLoBest / tMidBest) / (mid.toDouble / lo)
+      else -1.0
     val qs = (Seq("extract" -> tHi) ++ queryTimes)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = tHi + queryTimes.map(_._2).sum
@@ -306,6 +344,10 @@ object Bench {
         s""""extract_docs_per_sec_n":${f"$loRate%.1f"},""" +
         s""""extract_docs_per_sec_4n":${f"$midRate%.1f"},""" +
         s""""scaling_efficiency":${f"$eff%.3f"},""" +
+        s""""scaling_pair_effs":${pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")},""" +
+        s""""scaling_eff_min":${f"${if (sortedEffs.nonEmpty) sortedEffs.head else -1.0}%.3f"},""" +
+        s""""scaling_eff_max":${f"${if (sortedEffs.nonEmpty) sortedEffs.last else -1.0}%.3f"},""" +
+        s""""scaling_efficiency_bestof":${f"$effBestOf%.3f"},""" +
         s""""dedup_scale_docs":$dedupDocs,"dedup_scale_candidates":$dedupCandidates,""" +
         s""""dedup_scale_pairs":$dedupPairs,"dedup_scale_planted":$dedupPlanted,""" +
         s""""dedup_scale_planted_recall":${f"$dedupRecall%.3f"},""" +

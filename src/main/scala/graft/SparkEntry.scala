@@ -357,6 +357,10 @@ object SparkEntry {
       // ---- training-set assembly ----
       "decontaminate" -> ((s, dir) => graft.operators.TrainingSet.decontaminate(s, dir)),
       "substring_dedup" -> ((s, dir) => graft.operators.TrainingSet.substringDedup(s, dir)),
+      // the scale twin shuffles xxhash64(window) instead of the window
+      // string; the oracle is the STRING-keyed SQL — identical rows from
+      // both engines is also the hash-collision-freedom check
+      "substring_dedup_hashed" -> ((s, dir) => graft.operators.TrainingSet.substringDedupHashed(s, dir)),
       "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir)),
       "corpus_pack" -> ((s, dir) => graft.operators.TrainingSet.corpusPack(s, dir)),
       // ---- non-parquet sources: the SAME staged files are read by both
@@ -732,6 +736,9 @@ object SparkEntry {
       "stream_interval_join" -> graft.streaming.StreamingJoin.intervalJoinSql,
       "decontaminate" -> graft.operators.TrainingSet.decontaminateSql,
       "substring_dedup" -> graft.operators.TrainingSet.substringDedupSql,
+      // same SQL on purpose: the hashed twin must reproduce the
+      // string-keyed answer exactly (xxhash64 keys are an internal detail)
+      "substring_dedup_hashed" -> graft.operators.TrainingSet.substringDedupSql,
       "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql,
       "corpus_pack" -> graft.operators.TrainingSet.corpusPackSql,
       // non-parquet sources: DuckDB reads the SAME staged files with ITS

@@ -44,6 +44,17 @@ object ParagraphDedup {
     */
   val MaxBoilerplate = 4096
 
+  /** Cap overflow, the no-silent-caps rule (Dedup.DropCounter's role for
+    * the LSH bucket caps): qualifying paragraphs (df >= MinDf) that did
+    * NOT fit in the capped drop set on the most recent scrub run in this
+    * driver JVM; -1 = no run yet. The count rides an observe() on the
+    * qualifying frame, so the drop-set collect itself is the action — no
+    * extra job.
+    */
+  val ScrubOverflow = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class ScrubbedDoc(url: String, n_paras: Int, n_dropped: Int, clean_text: String)
 
   /** Completed documents with their paragraph arrays (split once). */
@@ -68,27 +79,48 @@ object ParagraphDedup {
         length(col("para")).as("n_chars"))
       .orderBy(col("df").desc, col("para"))
 
-  /** The capped drop set: paragraphs in >= MinDf distinct documents,
-    * worst offenders first, deterministic total order at the cap edge.
-    */
-  def boilerplate(extracted: DataFrame): DataFrame =
+  /** All qualifying paragraphs (df >= MinDf), uncapped. */
+  private def qualifying(extracted: DataFrame): DataFrame =
     docs(extracted)
       .select(col("url"), explode(col("sp")).as("para"))
       .distinct()
       .groupBy(col("para")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinDf)
+
+  /** The capped drop set: paragraphs in >= MinDf distinct documents,
+    * worst offenders first, deterministic total order at the cap edge.
+    */
+  def boilerplate(extracted: DataFrame): DataFrame =
+    qualifying(extracted)
       .orderBy(col("df").desc, col("para"))
       .limit(MaxBoilerplate)
 
   /** Scrub: remove every occurrence of a boilerplate paragraph from every
     * document, preserving the order of what remains. The drop set is a
-    * driver-side broadcast (bounded by MaxBoilerplate) and the scrub is a
-    * narrow typed map — the full text payload never shuffles.
+    * driver-side broadcast (bounded by the cap) and the scrub is a narrow
+    * typed map — the full text payload never shuffles. Qualifying
+    * paragraphs beyond the cap are COUNTED (ScrubOverflow) and warned,
+    * never silently truncated; `maxBoilerplate` is overridable so the
+    * overflow spec can plant past a small cap.
     */
-  def paragraphScrubFrom(s: SparkSession, extracted: DataFrame): DataFrame = {
+  def paragraphScrubFrom(s: SparkSession, extracted: DataFrame,
+      maxBoilerplate: Int = MaxBoilerplate): DataFrame = {
     import s.implicits._
-    val dropSet = boilerplate(extracted)
+    // observe rides the qualifying frame feeding the top-k sort: the sort
+    // scans every qualifying row even under the limit, so the metric is
+    // complete when the collect below finishes
+    val obs = org.apache.spark.sql.Observation()
+    val dropSet = qualifying(extracted)
+      .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n_qualifying"))
+      .orderBy(col("df").desc, col("para"))
+      .limit(maxBoilerplate)
       .select(col("para")).collect().map(_.getString(0)).toSet
+    val overflow = math.max(0L,
+      obs.get("n_qualifying").asInstanceOf[Long] - dropSet.size)
+    ScrubOverflow.set(overflow)
+    if (overflow > 0)
+      log.warn(s"[para_scrub] boilerplate cap dropped $overflow qualifying " +
+        s"paragraphs beyond the $maxBoilerplate worst (df-descending) offenders")
     val bc = s.sparkContext.broadcast(dropSet)
     docs(extracted)
       .select(col("url"), col("sp"))

@@ -109,8 +109,21 @@ object Pq {
     cents
   }
 
-  /** [sub][code][subdim] — per-subspace codebooks. */
+  /** [sub][code][subdim] — per-subspace codebooks. Memoized per
+    * (dir, input-file fingerprint) exactly like Similarity.ivfCentroids:
+    * training is deterministic, and every IVF-PQ retrieval call would
+    * otherwise re-pay the sample collect + per-subspace Lloyd runs.
+    */
   def trainCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val fp = Similarity.embeddingsFingerprint(s, dir)
+    if (bookCache.size > 16) bookCache.clear()
+    bookCache.getOrElseUpdate(s"$dir#$fp", trainCodebooksUncached(s, dir))
+  }
+
+  private val bookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private def trainCodebooksUncached(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     import s.implicits._
     val e = Relational.table(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))

@@ -24,15 +24,27 @@ object Similarity {
 
   val TopK = 5
 
-  /** Query set: every 100th vector id. (The repartition undoes the
-    * single-file smoke table's one-partition scan — see Dedup.corpus.)
+  /** Hard ceiling on the query set. Every ANN path broadcasts the query
+    * frame (that is what makes the corpus side shuffle-free), so the
+    * "queries ≪ corpus" invariant must hold BY CONSTRUCTION, not by
+    * comment: a stride-only selection grows with the corpus and at 10^9
+    * vectors the broadcast would be ~5 GB. The cap bounds it at
+    * MaxQueries × (Dims + 2) doubles (~0.5 MB) at any corpus size.
+    */
+  val MaxQueries = 1024L
+
+  /** Query set: every 100th vector id, capped at MaxQueries (ids below
+    * 100·MaxQueries — deterministic, oracle-replicable, and a no-op at
+    * the test scales where max vec_id < 100·MaxQueries). (The
+    * repartition undoes the single-file smoke table's one-partition
+    * scan — see Dedup.corpus.)
     */
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Relational.table(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", Dedup.l2norm(col("e")))
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries))
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     (q, e)
   }
@@ -64,7 +76,7 @@ object Similarity {
 
   val annBruteForceSql: String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-       |           FROM embeddings WHERE vec_id % 100 = 0)
+       |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < ${100L * MaxQueries})
        |SELECT qid, vec_id AS nid, rnk FROM (
        |  SELECT q.qid, e.vec_id,
        |   row_number() OVER (PARTITION BY q.qid
@@ -166,9 +178,18 @@ object Similarity {
     // rewritten in place with identical part-file names (same layout,
     // new content) still retrains instead of silently reusing a stale
     // codebook.
+    val fp = embeddingsFingerprint(s, dir)
+    // bound the memo: repeated in-place regenerations of the same dir
+    // would otherwise accumulate codebooks for the JVM lifetime
+    if (centroidCache.size > 16) centroidCache.clear()
+    centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
+  }
+
+  /** Cache key for per-corpus trained artifacts (IVF and PQ codebooks). */
+  private[operators] def embeddingsFingerprint(s: SparkSession, dir: String): Long = {
     val files = s.read.parquet(s"$dir/embeddings.parquet").inputFiles.sorted
     val conf = s.sparkContext.hadoopConfiguration
-    val fp = files.foldLeft(17L) { (acc, f) =>
+    files.foldLeft(17L) { (acc, f) =>
       val p = new org.apache.hadoop.fs.Path(f)
       // a file deleted between listing and stat (concurrent rewrite)
       // must not fail the query — fold a sentinel; the changed listing
@@ -178,10 +199,6 @@ object Similarity {
         catch { case _: java.io.IOException => (-1L, -1L) }
       ((acc * 31L + f.hashCode.toLong) * 31L + len) * 31L + mtime
     }
-    // bound the memo: repeated in-place regenerations of the same dir
-    // would otherwise accumulate codebooks for the JVM lifetime
-    if (centroidCache.size > 16) centroidCache.clear()
-    centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
   }
 
   private val centroidCache =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-set assembly operators — the last stages between a deduped
@@ -88,7 +88,7 @@ object TrainingSet {
     * Pure higher-order-function expression (codegen'd, no UDF); slice is
     * 1-based, window starts 0-based.
     */
-  private def gramsExpr(toks: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+  private def gramsExpr(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
@@ -130,28 +130,60 @@ object TrainingSet {
   /** Window width (tokens) for span-level dedup. */
   val SpanWindow = 16
 
-  /** Docs carrying windows that appear (verbatim) in ≥2 distinct docs of
-    * the dedup corpus. Output per flagged doc: total windows, duplicated
-    * windows, duplicated fraction.
+  /** The exploded (doc_id, key) window frame, tokenized ONCE and cut
+    * with Dedup.truncate so both consumers below (the dup-key agg and
+    * the flagging join) read the materialized blocks instead of
+    * re-running tokenize+explode — round 4 ran the explode three times.
     */
-  def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val windows = Dedup.corpus(s, dir)
-      .select(col("doc_id"), explode(gramsExpr(Dedup.tokensCol(col("text")), SpanWindow)).as("gram"))
-    val dupGrams = windows
-      .groupBy(col("gram"))
+  private def windowFrame(s: SparkSession, dir: String, keyed: Column => Column): DataFrame =
+    Dedup.truncate(
+      Dedup.corpus(s, dir)
+        .select(col("doc_id"),
+          explode(gramsExpr(Dedup.tokensCol(col("text")), SpanWindow)).as("w"))
+        // second projection: a generator can't nest inside xxhash64(...)
+        .select(col("doc_id"), keyed(col("w")).as("wkey")))
+
+  /** Shared tail: flag windows whose key appears in ≥2 distinct docs,
+    * then count total AND duplicated windows per doc in a SINGLE agg
+    * (left join against the dup-key set; count(dup) skips nulls).
+    */
+  private def substringDedupFrom(windows: DataFrame): DataFrame = {
+    val dupKeys = windows
+      .groupBy(col("wkey"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("gram"))
+      .select(col("wkey"), lit(1).as("is_dup"))
     windows
-      .join(dupGrams, Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-      .join(
-        windows.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows")),
-        Seq("doc_id"))
+      .join(dupKeys, Seq("wkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("is_dup")).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows").cast("double") / col("n_windows"), 3).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Docs carrying windows that appear (verbatim) in ≥2 distinct docs of
+    * the dedup corpus. Output per flagged doc: total windows, duplicated
+    * windows, duplicated fraction. This is the ORACLE-TRANSPARENT form —
+    * the shuffle key is the window string itself, byte-comparable by
+    * DuckDB; substringDedupHashed is the shape to run at scale.
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(windowFrame(s, dir, identity))
+
+  /** The scale twin: identical semantics, but the window key that
+    * shuffles is xxhash64(window) — 8 bytes instead of ~100 bytes of
+    * text per token position, so the dup-key shuffle is ~12× lighter
+    * and independent of window width. A 64-bit collision would need two
+    * DIFFERENT windows hashing equal within one corpus (P ≈ n²/2⁶⁵ —
+    * ~10⁻⁷ even at 10^9 windows), and the failure mode is one
+    * over-counted dup window, not a wrong pipeline. The oracle is the
+    * STRING-KEYED computation (substringDedupSql): both must produce
+    * identical rows, which IS the collision-freedom check.
+    */
+  def substringDedupHashed(s: SparkSession, dir: String): DataFrame =
+    substringDedupFrom(windowFrame(s, dir, xxhash64(_)))
 
   def substringDedupSql: String =
     s"""WITH all_docs AS (${Dedup.corpusSql}),
@@ -178,60 +210,111 @@ object TrainingSet {
 
   /** Token budget per packed training sequence. */
   val PackBudget = 256
-  /** Pack-group fanout (the unit of packing parallelism). */
-  val PackBuckets = 32
+  /** Target docs per pack group — the bucket count grows with the corpus
+    * so parallelism is corpus-proportional, not a constant.
+    */
+  val PackGroupDocs = 4096L
+  /** Bucket-count floor: keeps small/test corpora at the historical
+    * 32-group layout (and a healthy minimum fanout).
+    */
+  val PackMinBuckets = 32L
+
+  /** Pack-group count for an n-doc corpus: ~n/PackGroupDocs groups,
+    * floored at PackMinBuckets. Derived from CORPUS SIZE only (never
+    * cluster size), so the packing output is identical at any
+    * parallelism — at 10^9 docs this is ~244k groups of ~4096 docs,
+    * where round 4's fixed 32 groups meant 3×10^7 docs sorted inside
+    * one task.
+    */
+  def packBucketsFor(n: Long): Long =
+    math.max(PackMinBuckets, (n + PackGroupDocs - 1) / PackGroupDocs)
 
   /** Greedy sequence packing — the step that turns a deduped corpus into
     * fixed-length pretraining examples: docs are assigned to
-    * `PackBuckets` hash groups, and WITHIN each group packed greedily in
-    * doc_id order into sequences of at most `PackBudget` tokens (docs
-    * longer than the budget are truncated to it; no doc splits across
-    * sequences). Per-group determinism makes the packing reproducible at
-    * any cluster size AND lets the DuckDB oracle replay it exactly with
-    * a recursive CTE — a global greedy pack would depend on partition
-    * layout.
+    * `packBucketsFor(n)` hash groups, and WITHIN each group packed
+    * greedily in doc_id order into sequences of at most `PackBudget`
+    * tokens (docs longer than the budget are truncated to it; no doc
+    * splits across sequences). Per-group determinism makes the packing
+    * reproducible at any cluster size AND lets the DuckDB oracle replay
+    * it exactly with a recursive CTE — a global greedy pack would depend
+    * on partition layout.
     *
-    * Shape at scale: one shuffle on the pack bucket, then a sorted fold
-    * per group (`mapGroups`); sequences never materialize doc text, only
-    * counts. Output: one row per packed sequence.
+    * Shape at scale: one shuffle on the pack bucket, then a STREAMING
+    * fold over each task's (bucket, doc_id)-sorted iterator — O(1) task
+    * memory regardless of group size (round 4 buffered+sorted each group
+    * in memory); sequences never materialize doc text, only counts.
+    * Output: one row per packed sequence.
     */
-  def corpusPack(s: SparkSession, dir: String): DataFrame = {
+  def corpusPack(s: SparkSession, dir: String): DataFrame =
+    corpusPackFrom(s,
+      Relational.table(s, dir, "documents")
+        .select(col("doc_id"),
+          least(size(Dedup.tokensCol(col("text"))), lit(PackBudget)).as("n_tok")))
+
+  /** Packing core over a (doc_id, n_tok) frame; `bucketsOverride` exists
+    * for the determinism spec (same output at any partitioning / any
+    * parallelism for a fixed bucket count).
+    */
+  def corpusPackFrom(s: SparkSession, toks: DataFrame,
+      bucketsOverride: Option[Long] = None): DataFrame = {
     import s.implicits._
-    Relational.table(s, dir, "documents")
-      .select(col("doc_id"),
-        least(size(Dedup.tokensCol(col("text"))), lit(PackBudget)).as("n_tok"))
-      .withColumn("bucket", pmod(col("doc_id"), lit(PackBuckets.toLong)))
-      .as[(Long, Int, Long)]
-      .groupByKey(_._3)
-      .mapGroups { (bucket, it) =>
-        val docs = it.toArray.sortBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val buckets = bucketsOverride.getOrElse(packBucketsFor(toks.count()))
+    // shuffle partition count: capped fanout at test scale, grows with
+    // the cluster; several buckets may share a partition — the fold below
+    // resets at each bucket boundary, so the grouping is correctness-
+    // neutral (output depends only on the per-bucket doc_id order)
+    val parts = math.max(1L, math.min(buckets,
+      s.sparkContext.defaultParallelism.toLong * 4)).toInt
+    toks
+      .select(pmod(col("doc_id"), lit(buckets)).as("bucket"),
+        col("doc_id"), col("n_tok"))
+      .repartition(parts, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // streaming greedy fold: emit a row per closed sequence, close on
+        // bucket change and at end-of-partition; never buffers a group
+        var started = false
+        var bkt = 0L
         var seq = 0L
         var fill = 0L
         var nDocs = 0L
-        docs.foreach { case (_, tok, _) =>
-          if (nDocs > 0 && fill + tok > PackBudget) {
-            out += ((bucket, seq, nDocs, fill))
-            seq += 1; fill = 0L; nDocs = 0L
-          }
+        def closed: (Long, Long, Long, Long) = (bkt, seq, nDocs, fill)
+        val body = it.flatMap { case (bucket, _, tok) =>
+          val out =
+            if (!started) { started = true; bkt = bucket; Iterator.empty }
+            else if (bucket != bkt) {
+              val r = if (nDocs > 0) Iterator.single(closed) else Iterator.empty
+              bkt = bucket; seq = 0L; fill = 0L; nDocs = 0L
+              r
+            } else if (nDocs > 0 && fill + tok > PackBudget) {
+              val r = Iterator.single(closed)
+              seq += 1; fill = 0L; nDocs = 0L
+              r
+            } else Iterator.empty
           fill += tok; nDocs += 1
+          out
         }
-        if (nDocs > 0) out += ((bucket, seq, nDocs, fill))
-        out.toSeq
+        // ++ is by-name: the flush tuple reads the fold state only after
+        // `body` is exhausted
+        body ++ (if (started && nDocs > 0) Iterator.single(closed) else Iterator.empty)
       }
-      .flatMap(identity)
       .toDF("bucket", "seq_no", "n_docs", "n_tokens")
       .withColumn("fill_frac", round(col("n_tokens") / lit(PackBudget.toDouble), 3))
       .orderBy(col("bucket"), col("seq_no"))
   }
 
   /** DuckDB replay: linear recursion over row_number per bucket with a
-    * capacity-reset fold — the same greedy rule, then sequences
-    * re-aggregated from the per-doc assignment.
+    * capacity-reset fold — the same greedy rule (bucket count re-derived
+    * from the same corpus-size formula), then sequences re-aggregated
+    * from the per-doc assignment.
     */
   def corpusPackSql: String =
-    s"""WITH toks AS (
-       | SELECT doc_id, doc_id % $PackBuckets AS bucket,
+    s"""WITH nb AS (
+       | SELECT greatest($PackMinBuckets,
+       |   CAST(ceil(count(*) / ${PackGroupDocs}.0) AS BIGINT)) AS b FROM documents),
+       |toks AS (
+       | SELECT doc_id, doc_id % (SELECT b FROM nb) AS bucket,
        |  least(len(regexp_extract_all(lower(text), '[a-z0-9]+')), $PackBudget) AS n_tok
        | FROM documents),
        |ordered AS (

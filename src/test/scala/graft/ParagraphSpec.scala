@@ -56,6 +56,25 @@ class ParagraphSpec extends AnyFunSuite {
     assert(out("u3") == ((1, 0, ""))) // empty text is one empty paragraph
   }
 
+  test("scrub cap: overflow beyond maxBoilerplate is counted, worst offenders kept") {
+    // five boilerplate paragraphs with distinct df: Bp appears in docs
+    // 0..(2+p) -> df(Bp) = 3+p (B1=4 ... B5=8), all >= MinDf
+    val f = frame((0 until 8).map { d =>
+      val paras = (1 to 5).filter(p => d <= 2 + p).map(p => s"B$p") :+ s"unique $d"
+      (s"u$d", "completed", paras.mkString(ParagraphDedup.Sep))
+    }: _*)
+    val out = ParagraphDedup.paragraphScrubFrom(spark, f, maxBoilerplate = 2)
+      .as[(String, Int, Int, String)].collect()
+    // cap keeps the df-descending top 2 (B5, B4); the other 3 overflow
+    assert(ParagraphDedup.ScrubOverflow.get() == 3L)
+    val u0 = out.find(_._1 == "u0").get
+    assert(u0._4 == Seq("B1", "B2", "B3", "unique 0").mkString(ParagraphDedup.Sep))
+    assert(out.forall(r => !r._4.contains("B4") && !r._4.contains("B5")))
+    // under the cap the counter reads 0, not stale
+    ParagraphDedup.paragraphScrubFrom(spark, f).collect()
+    assert(ParagraphDedup.ScrubOverflow.get() == 0L)
+  }
+
   test("paragraphStats: df counts distinct docs, n_occurrences counts all repeats") {
     val f = frame(
       ("u1", "completed", "P\n\nP\n\nx"),

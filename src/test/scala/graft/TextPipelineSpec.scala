@@ -225,6 +225,46 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("substring_dedup_hashed: identical rows to the string-keyed operator") {
+    // the scale twin shuffles xxhash64(window) instead of the window
+    // string; equality against the string-keyed answer IS the
+    // collision-freedom check on this corpus
+    val a = SparkEntry.queries("substring_dedup")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val b = SparkEntry.queries("substring_dedup_hashed")(spark, sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("corpus_pack: output invariant to input partitioning, both bucket regimes") {
+    import graft.operators.{Dedup, Relational, TrainingSet}
+    val toks = Relational.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        least(size(Dedup.tokensCol(col("text"))), lit(TrainingSet.PackBudget)).as("n_tok"))
+    // buckets < shuffle partitions (one bucket per partition) AND
+    // buckets > shuffle partitions (fold crosses bucket boundaries
+    // within a task): identical output for any input layout in both
+    for (buckets <- Seq(7L, 200L)) {
+      val base = TrainingSet.corpusPackFrom(spark, toks, Some(buckets)).collect().toSeq
+      assert(base.nonEmpty)
+      for (parts <- Seq(1, 17)) {
+        val alt = TrainingSet.corpusPackFrom(spark, toks.repartition(parts), Some(buckets))
+          .collect().toSeq
+        assert(alt == base, s"buckets=$buckets parts=$parts")
+      }
+    }
+  }
+
+  test("corpus_pack: bucket count grows with corpus size, floored for small corpora") {
+    import graft.operators.TrainingSet
+    assert(TrainingSet.packBucketsFor(0L) == TrainingSet.PackMinBuckets)
+    assert(TrainingSet.packBucketsFor(500L) == TrainingSet.PackMinBuckets)
+    // 10^9 docs -> ~244k groups of ~PackGroupDocs docs, not 32 mega-groups
+    val big = TrainingSet.packBucketsFor(1000000000L)
+    assert(big == (1000000000L + TrainingSet.PackGroupDocs - 1) / TrainingSet.PackGroupDocs)
+    assert(big > 200000L)
+  }
+
   test("corpus_pack: budget respected, sequences contiguous, every doc packed once") {
     import graft.operators.TrainingSet
     val rows = SparkEntry.queries("corpus_pack")(spark, sf0001)
