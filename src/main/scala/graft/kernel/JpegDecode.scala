@@ -8,8 +8,10 @@ package graft.kernel
   * 8×8 inverse DCT.
   *
   * Scope (total — anything outside returns None, never throws):
-  *   - Baseline/extended sequential Huffman (SOF0/SOF1); progressive
-  *     (SOF2), arithmetic coding, and 12-bit precision return None.
+  *   - Baseline/extended sequential Huffman (SOF0/SOF1) and progressive
+  *     (SOF2: spectral selection + successive approximation, DC and AC
+  *     first/refinement scans with EOBRUN); arithmetic coding, lossless,
+  *     hierarchical, and 12-bit precision return None.
   *   - Grayscale or YCbCr where the Y component carries the maximum
   *     sampling factors (true for 4:4:4 / 4:2:2 / 4:2:0): only Y blocks
   *     run the IDCT — chroma blocks are entropy-decoded to keep the bit
@@ -188,18 +190,26 @@ object JpegDecode {
     var h = -1
     var comps: Array[Comp] = null
     var restartInterval = 0
+    var progressive = false
+    var st: ProgState = null // progressive coefficient store, built at first SOS
     var pos = 2
-    while (pos + 4 <= b.length) {
+    while (pos + 2 <= b.length) { // EOI is a bare 2-byte marker
       if (u8(b, pos) != 0xFF) return None
       var m = u8(b, pos + 1)
       while (m == 0xFF && pos + 2 < b.length) { pos += 1; m = u8(b, pos + 1) }
       if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) { pos += 2 }
-      else if (m == 0xD9) return None // EOI before SOS
+      else if (m == 0xD9) {
+        // EOI: progressive frames finish here (coefficients accumulated
+        // across the preceding scans); for sequential it's premature
+        return if (progressive && st != null) finishProgressive(st, quant) else None
+      }
       else {
+        if (pos + 4 > b.length) return None // truncated segment header
         val len = be16(b, pos + 2)
         if (len < 2 || pos + 2 + len > b.length) return None
         val seg = pos + 4
         val segEnd = pos + 2 + len
+        var posOverride = -1 // a progressive SOS jumps past its entropy data
         m match {
           case 0xDB => // DQT
             var p = seg
@@ -225,7 +235,7 @@ object JpegDecode {
               if (tc == 0) dcTabs(th) = t else acTabs(th) = t
               p += 17 + n
             }
-          case 0xC0 | 0xC1 => // SOF0 / SOF1 (both Huffman sequential)
+          case 0xC0 | 0xC1 | 0xC2 => // SOF0/SOF1 (sequential) or SOF2 (progressive)
             if (u8(b, seg) != 8) return None // 8-bit precision only
             h = be16(b, seg + 1)
             w = be16(b, seg + 3)
@@ -238,35 +248,356 @@ object JpegDecode {
               val p = seg + 6 + c * 3
               Comp(u8(b, p), u8(b, p + 1) >> 4, u8(b, p + 1) & 15, u8(b, p + 2))
             }
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
-            return None // progressive / arithmetic / lossless — out of scope
+            progressive = m == 0xC2
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // arithmetic / lossless / hierarchical — out of scope
           case 0xDD => // DRI
             restartInterval = be16(b, seg)
-          case 0xDA => // SOS — entropy decode starts after this segment
+          case 0xDA => // SOS — entropy data starts after this segment
             if (comps == null || w < 0) return None
             val ns = u8(b, seg)
-            if (ns != comps.length) return None // single interleaved scan only
+            if (ns < 1 || ns > comps.length) return None
             if (seg + 1 + ns * 2 + 3 > segEnd) return None // specs must fit the segment
-            val scanDc = new Array[Int](comps.length)
-            val scanAc = new Array[Int](comps.length)
+            if (!progressive) {
+              if (ns != comps.length) return None // single interleaved scan only
+              val scanDc = new Array[Int](comps.length)
+              val scanAc = new Array[Int](comps.length)
+              var c = 0
+              while (c < ns) {
+                val cs = u8(b, seg + 1 + c * 2)
+                val tt = u8(b, seg + 2 + c * 2)
+                val ci = comps.indexWhere(_.id == cs)
+                if (ci < 0) return None
+                scanDc(ci) = tt >> 4
+                scanAc(ci) = tt & 15
+                c += 1
+              }
+              return entropyScan(b, segEnd, w, h, comps, quant, dcTabs, acTabs,
+                scanDc, scanAc, restartInterval)
+            }
+            // progressive: accumulate this scan's coefficients, then keep
+            // walking markers (DHT/DQT/DRI may precede further scans)
+            if (st == null) {
+              st = ProgState.build(comps, w, h).getOrElse(return None)
+            }
+            val scanComps = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
             var c = 0
             while (c < ns) {
               val cs = u8(b, seg + 1 + c * 2)
               val tt = u8(b, seg + 2 + c * 2)
-              val ci = comps.indexWhere(_.id == cs)
+              val ci = st.comps.indexWhere(_.id == cs)
               if (ci < 0) return None
-              scanDc(ci) = tt >> 4
-              scanAc(ci) = tt & 15
+              scanComps(c) = ci
+              scanDc(c) = tt >> 4
+              scanAc(c) = tt & 15
               c += 1
             }
-            return entropyScan(b, segEnd, w, h, comps, quant, dcTabs, acTabs,
-              scanDc, scanAc, restartInterval)
+            val ss = u8(b, segEnd - 3)
+            val se = u8(b, segEnd - 2)
+            val ah = u8(b, segEnd - 1) >> 4
+            val al = u8(b, segEnd - 1) & 15
+            val nxt = progressiveScan(b, segEnd, st, scanComps, scanDc, scanAc,
+              ss, se, ah, al, dcTabs, acTabs, restartInterval)
+            if (nxt < 0) return None
+            posOverride = nxt
           case _ => () // APPn / COM / others: skip
         }
-        pos += 2 + len
+        pos = if (posOverride >= 0) posOverride else pos + 2 + len
       }
     }
     None
+  }
+
+  // ------------------------------------------------------------------
+  // Progressive (SOF2): coefficients accumulate across scans — spectral
+  // selection bands (Ss..Se) and successive-approximation bit planes
+  // (Ah/Al) — then one dequant+IDCT pass at EOI. Only the Y plane is
+  // rendered, but every component's coefficients are tracked so the
+  // entropy stream stays in sync through interleaved DC scans.
+  // ------------------------------------------------------------------
+
+  /** Per-frame progressive state: one flat Int array per component over
+    * the MCU-padded block grid, 64 coefficients per block in ZIGZAG
+    * order (DC at 0 in either order; quant tables are zigzag-indexed).
+    */
+  private final class ProgState(
+      val comps: Array[Comp], val w: Int, val h: Int,
+      val hMax: Int, val vMax: Int, val mcusX: Int, val mcusY: Int,
+      val blocksPerLine: Array[Int], val blocksPerCol: Array[Int],
+      val niCols: Array[Int], val niRows: Array[Int],
+      val coefs: Array[Array[Int]]) {
+    val dcPred = new Array[Int](comps.length)
+  }
+
+  private object ProgState {
+    def build(compsIn: Array[Comp], w: Int, h: Int): Option[ProgState] = {
+      // single-component frames: scans are non-interleaved, declared
+      // sampling does not tile (same T.81 A.2 rule as the baseline path)
+      val comps =
+        if (compsIn.length == 1) Array(compsIn(0).copy(h = 1, v = 1)) else compsIn
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      if (hMax < 1 || hMax > 4 || vMax < 1 || vMax > 4) return None
+      if (comps(0).h != hMax || comps(0).v != vMax) return None // luma-only contract
+      if (comps.exists(c => c.h < 1 || c.v < 1)) return None
+      val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+      val bpl = comps.map(c => mcusX * c.h)
+      val bpc = comps.map(c => mcusY * c.v)
+      // non-interleaved grids: ceil of the component's true pixel dims
+      val niCols = comps.map(c => ((w * c.h + hMax - 1) / hMax + 7) / 8)
+      val niRows = comps.map(c => ((h * c.v + vMax - 1) / vMax + 7) / 8)
+      // coefficient memory is bounded by the MaxImageDim cap; guard the
+      // pathological sampling corner anyway (3 comps × 4×4 at 4096²)
+      val totalInts = comps.indices.map(i => bpl(i).toLong * bpc(i) * 64).sum
+      if (totalInts > (64L << 20)) return None
+      val coefs = comps.indices.map(i => new Array[Int](bpl(i) * bpc(i) * 64)).toArray
+      Some(new ProgState(comps, w, h, hMax, vMax, mcusX, mcusY, bpl, bpc,
+        niCols, niRows, coefs))
+    }
+  }
+
+  /** Decode ONE progressive scan's entropy data (T.81 G.2), mutating the
+    * coefficient store; returns the position of the next marker, or -1
+    * on malformation.
+    */
+  private def progressiveScan(
+      b: Array[Byte], start: Int, st: ProgState,
+      scanComps: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      restartInterval: Int): Int = {
+    val ns = scanComps.length
+    val isDc = ss == 0
+    if (isDc && se != 0) return -1
+    if (!isDc && (ns != 1 || se > 63 || ss > se)) return -1 // AC scans: one component
+    if (al > 13 || ah > 14) return -1
+    val reader = new BitReader(b, start)
+    java.util.Arrays.fill(st.dcPred, 0)
+    var eobrun = 0
+
+    def refineBit(blk: Array[Int], i: Int): Boolean = {
+      val x = reader.bit()
+      if (x < 0) return false
+      if (x == 1 && (blk(i) & (1 << al)) == 0)
+        blk(i) += (if (blk(i) > 0) 1 << al else -(1 << al))
+      true
+    }
+
+    // one block in a DC scan (sci = scan-component slot, blk/off its store)
+    def dcBlock(sci: Int, blk: Array[Int], off: Int): Boolean = {
+      if (ah == 0) {
+        val dcT = dcTabs(scanDc(sci))
+        if (dcT == null) return false
+        val t = reader.decodeHuff(dcT)
+        if (t < 0 || t > 15) return false
+        val db = if (t == 0) 0 else { val x = reader.bits(t); if (x < 0) return false; x }
+        st.dcPred(scanComps(sci)) += extend(db, t)
+        blk(off) = st.dcPred(scanComps(sci)) << al
+      } else {
+        val x = reader.bit()
+        if (x < 0) return false
+        if (x == 1) blk(off) |= 1 << al
+      }
+      true
+    }
+
+    def acFirstBlock(acT: Huff, blk: Array[Int], off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = reader.decodeHuff(acT)
+        if (rs < 0) return false
+        val r = rs >> 4
+        val sv = rs & 15
+        if (sv == 0) {
+          if (r < 15) { // EOBn: this block done, r-coded more to skip
+            eobrun = (1 << r) - 1
+            if (r > 0) { val x = reader.bits(r); if (x < 0) return false; eobrun += x }
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          k += r
+          if (k > se) return false
+          val vb = reader.bits(sv)
+          if (vb < 0) return false
+          blk(off + k) = extend(vb, sv) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(acT: Huff, blk: Array[Int], off: Int): Boolean = {
+      var k = ss
+      if (eobrun > 0) { // covered by a previous EOBn: corrections only
+        eobrun -= 1
+        while (k <= se) {
+          if (blk(off + k) != 0 && !refineBit(blk, off + k)) return false
+          k += 1
+        }
+        return true
+      }
+      while (k <= se) {
+        val rs = reader.decodeHuff(acT)
+        if (rs < 0) return false
+        var r = rs >> 4
+        val sv = rs & 15
+        var newVal = 0
+        if (sv == 0) {
+          if (r < 15) { // EOBn: refine this block's remaining history, then skip
+            eobrun = (1 << r) - 1
+            if (r > 0) { val x = reader.bits(r); if (x < 0) return false; eobrun += x }
+            while (k <= se) {
+              if (blk(off + k) != 0 && !refineBit(blk, off + k)) return false
+              k += 1
+            }
+            return true
+          }
+          // ZRL: 16 zero-history slots consumed below with r = 15
+        } else {
+          if (sv != 1) return false // refinement introduces only ±1<<Al
+          val sign = reader.bit()
+          if (sign < 0) return false
+          newVal = if (sign == 1) 1 << al else -(1 << al)
+        }
+        // walk: corrections ride nonzero-history slots; r counts down on
+        // zero-history slots; the (r+1)-th zero-history slot takes newVal
+        var placed = false
+        while (k <= se && !placed) {
+          if (blk(off + k) != 0) {
+            if (!refineBit(blk, off + k)) return false
+          } else if (r == 0) {
+            if (newVal != 0) blk(off + k) = newVal
+            placed = true
+          } else r -= 1
+          k += 1
+        }
+        if (!placed && newVal != 0) return false // ran off the band
+      }
+      true
+    }
+
+    def oneBlock(sci: Int, blk: Array[Int], off: Int): Boolean =
+      if (isDc) dcBlock(sci, blk, off)
+      else {
+        val acT = acTabs(scanAc(sci))
+        if (acT == null) false
+        else if (ah == 0) acFirstBlock(acT, blk, off)
+        else acRefineBlock(acT, blk, off)
+      }
+
+    def atRestart(unit: Int): Boolean =
+      restartInterval > 0 && unit > 0 && unit % restartInterval == 0
+
+    def restart(): Boolean = {
+      if (!reader.restart()) return false
+      java.util.Arrays.fill(st.dcPred, 0)
+      eobrun = 0
+      true
+    }
+
+    if (isDc && ns > 1) { // interleaved DC: MCU order across components
+      val nMcus = st.mcusX * st.mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (atRestart(mcu) && !restart()) return -1
+        val mx = mcu % st.mcusX
+        val my = mcu / st.mcusX
+        var sci = 0
+        while (sci < ns) {
+          val ci = scanComps(sci)
+          val comp = st.comps(ci)
+          val blk = st.coefs(ci)
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              val off = ((my * comp.v + by) * st.blocksPerLine(ci) +
+                (mx * comp.h + bx)) * 64
+              if (!oneBlock(sci, blk, off)) return -1
+              bx += 1
+            }
+            by += 1
+          }
+          sci += 1
+        }
+        mcu += 1
+      }
+    } else { // single-component scan (all AC scans; DC over one comp)
+      val ci = scanComps(0)
+      val blk = st.coefs(ci)
+      val rows = st.niRows(ci)
+      val cols = st.niCols(ci)
+      var n = 0
+      val total = rows * cols
+      while (n < total) {
+        if (atRestart(n) && !restart()) return -1
+        val off = ((n / cols) * st.blocksPerLine(ci) + n % cols) * 64
+        if (!oneBlock(0, blk, off)) return -1
+        n += 1
+      }
+    }
+    nextMarkerPos(b, reader.pos)
+  }
+
+  /** First non-stuffed, non-RST marker at or after `from`. */
+  private def nextMarkerPos(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xFF) {
+        val m = u8(b, p + 1)
+        if (m != 0x00 && m != 0xFF && !(m >= 0xD0 && m <= 0xD7)) return p
+        p += (if (m == 0xFF) 1 else 2)
+      } else p += 1
+    }
+    b.length
+  }
+
+  /** Dequantize + IDCT the accumulated Y coefficients, crop to (w, h). */
+  private def finishProgressive(st: ProgState,
+      quant: Array[Array[Int]]): Option[PixelDecode.Luma] = {
+    val qt = quant(st.comps(0).tq)
+    if (qt == null) return None
+    val bpl = st.blocksPerLine(0)
+    val bpc = st.blocksPerCol(0)
+    val yPlaneW = bpl * 8
+    val yPlane = new Array[Byte](yPlaneW * bpc * 8)
+    val y = st.coefs(0)
+    val coefN = new Array[Double](64)
+    val px = new Array[Int](64)
+    var br = 0
+    while (br < bpc) {
+      var bc = 0
+      while (bc < bpl) {
+        val off = (br * bpl + bc) * 64
+        java.util.Arrays.fill(coefN, 0.0)
+        var k = 0
+        while (k < 64) { coefN(Zigzag(k)) = y(off + k).toDouble * qt(k); k += 1 }
+        idct(coefN, px)
+        val x0 = bc * 8
+        val y0 = br * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          val row = (y0 + yy) * yPlaneW + x0
+          while (xx < 8) { yPlane(row + xx) = px(yy * 8 + xx).toByte; xx += 1 }
+          yy += 1
+        }
+        bc += 1
+      }
+      br += 1
+    }
+    val out = new Array[Byte](st.w * st.h)
+    var r = 0
+    while (r < st.h) {
+      System.arraycopy(yPlane, r * yPlaneW, out, r * st.w, st.w)
+      r += 1
+    }
+    Some(PixelDecode.Luma(st.w, st.h, out))
   }
 
   private def entropyScan(

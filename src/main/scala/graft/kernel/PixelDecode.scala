@@ -3,11 +3,12 @@ package graft.kernel
 /** Pure-JVM PIXEL decoders for the raster containers decodable with
   * zero codec dependencies: PNG (zlib via `java.util.zip.Inflater` +
   * the five PNG scanline filters), BMP (raw padded rows), GIF (from-
-  * scratch LZW), uncompressed TIFF (raw strips), and baseline JPEG
-  * (kernel.JpegDecode — from-scratch Huffman + IDCT, luma plane). ALL
-  * FIVE triage formats now decode real luma; what remains at the
-  * multimodal seam (operators.Multimodal scaladoc) is progressive
-  * JPEG, compressed-TIFF variants, and audio/video payloads.
+  * scratch LZW), TIFF (raw or LZW strips, optional horizontal
+  * predictor), and JPEG — baseline AND progressive (kernel.JpegDecode —
+  * from-scratch Huffman + IDCT, luma plane). ALL FIVE triage formats
+  * decode real luma; what remains at the multimodal seam
+  * (operators.Multimodal scaladoc) is exotic variants (arithmetic-coded
+  * JPEG, JPEG-in-TIFF) and audio/video payloads.
   *
   * Scope (documented, spec-pinned):
   *   - PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
@@ -20,9 +21,10 @@ package graft.kernel
   *     the first are triage-irrelevant), global or local palette,
   *     interlaced or sequential, hand-rolled LZW (variable code width,
   *     clear/end codes, 12-bit dict cap).
-  *   - TIFF: compression 1 (uncompressed) strips, 8 bits/sample,
-  *     grayscale (photometric 0/1, incl. white-is-zero inversion) or
-  *     RGB, either endianness. LZW/JPEG-compressed TIFF → None.
+  *   - TIFF: compression 1 (uncompressed) or 5 (LZW, MSB-first with the
+  *     early-change rule, optional horizontal predictor) strips, 8
+  *     bits/sample, grayscale (photometric 0/1, incl. white-is-zero
+  *     inversion) or RGB, either endianness. JPEG-in-TIFF → None.
   *   - Dimensions above the reference's resolution cap
   *     (MergeSpec.MaxImageDim per side) are not decoded — bounds the
   *     decode buffer exactly like the validation ladder bounds OCR.
@@ -349,7 +351,7 @@ object PixelDecode {
   }
 
   // ------------------------------------------------------------------
-  // TIFF (uncompressed strips)
+  // TIFF (uncompressed or LZW strips)
   // ------------------------------------------------------------------
 
   private def tiff(b: Array[Byte]): Option[Luma] = {
@@ -381,7 +383,7 @@ object PixelDecode {
       })
     }
     var w = -1L; var h = -1L; var comp = 1L; var photo = 1L; var spp = 1L
-    var rps = -1L
+    var rps = -1L; var predictor = 1L
     var bits: Array[Long] = Array(8L)
     var stripOffs: Array[Long] = null
     var stripLens: Array[Long] = null
@@ -399,11 +401,14 @@ object PixelDecode {
         case 277 => spp = values(p).flatMap(_.headOption).getOrElse(-1L)
         case 278 => rps = values(p).flatMap(_.headOption).getOrElse(-1L)
         case 279 => stripLens = values(p).getOrElse(return None)
+        case 317 => predictor = values(p).flatMap(_.headOption).getOrElse(-1L)
         case _   => ()
       }
       e += 1
     }
-    if (comp != 1L) return None // uncompressed only — LZW/JPEG TIFF is the seam
+    if (comp != 1L && comp != 5L) return None // uncompressed + LZW; JPEG-in-TIFF is the seam
+    if (predictor != 1L && predictor != 2L) return None
+    if (predictor == 2L && comp != 5L) return None // predictor is defined for compressed data
     if (w <= 0 || h <= 0 || w > MergeSpec.MaxImageDim || h > MergeSpec.MaxImageDim)
       return None
     if (!(photo == 0L || photo == 1L || photo == 2L)) return None
@@ -423,14 +428,41 @@ object PixelDecode {
       val so = stripOffs(s)
       val want = math.min((raster.length - filled).toLong,
         rowsPerStrip * rowBytes).toInt
-      val len = if (stripLens != null && s < stripLens.length)
-        math.min(stripLens(s), want.toLong).toInt else want
-      if (so < 0 || so + len > b.length) return None
-      System.arraycopy(b, so.toInt, raster, filled, len)
-      filled += len
+      if (comp == 1L) {
+        val len = if (stripLens != null && s < stripLens.length)
+          math.min(stripLens(s), want.toLong).toInt else want
+        // strips are concatenated at the running offset, so a short
+        // non-final strip would shift every subsequent row — malformed →
+        // None, not Some(misaligned) (matches the contract elsewhere)
+        if (len < want) return None
+        if (so < 0 || so + len > b.length) return None
+        System.arraycopy(b, so.toInt, raster, filled, len)
+        filled += len
+      } else { // LZW: each strip is an independent compressed stream
+        if (stripLens == null || s >= stripLens.length) return None
+        val slen = stripLens(s)
+        if (so < 0 || slen <= 0 || so + slen > b.length) return None
+        if (!tiffLzwStrip(b, so.toInt, slen.toInt, raster, filled, want)) return None
+        filled += want
+      }
       s += 1
     }
     if (filled < raster.length) return None
+    // predictor 2: each sample is stored as the delta to the same sample
+    // one pixel left — undo per row, per sample channel
+    if (predictor == 2L) {
+      val nch = spp.toInt
+      var y = 0
+      while (y < hi) {
+        val ro = y * rowBytes
+        var i = nch
+        while (i < rowBytes) {
+          raster(ro + i) = ((raster(ro + i) + raster(ro + i - nch)) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+    }
     val out = new Array[Byte](wi * hi)
     var i = 0
     while (i < wi * hi) {
@@ -445,6 +477,70 @@ object PixelDecode {
       i += 1
     }
     Some(Luma(wi, hi, out))
+  }
+
+  /** TIFF-flavor LZW (spec §13): same dictionary scheme as GIF but
+    * MSB-first bit packing, fixed 8-bit symbols (Clear=256, EOI=257,
+    * first entry 258, initial width 9), and the "early change" rule —
+    * the code width grows when the next free entry reaches 2^width - 1,
+    * one code earlier than GIF. Decodes one strip into out[outOff,
+    * outOff+outLen); false on any malformation (truncation, code beyond
+    * the next free slot, overrun).
+    */
+  private def tiffLzwStrip(b: Array[Byte], off: Int, len: Int,
+      out: Array[Byte], outOff: Int, outLen: Int): Boolean = {
+    val Clear = 256
+    val End = 257
+    var codeSize = 9
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = 258
+    var outPos = outOff
+    val outEnd = outOff + outLen
+    var bitPos = 0
+    val totalBits = len * 8
+    val stack = new Array[Byte](4097)
+    var prev = -1
+    while (outPos < outEnd) {
+      if (bitPos + codeSize > totalBits) return false
+      var code = 0
+      var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        code = (code << 1) | ((b(off + (bp >> 3)) >> (7 - (bp & 7))) & 1)
+        i += 1
+      }
+      bitPos += codeSize
+      if (code == Clear) {
+        next = 258; codeSize = 9; prev = -1
+      } else if (code == End) {
+        return false // EOI before the strip's pixels are complete
+      } else if (prev < 0) {
+        if (code >= Clear) return false // first code after clear: literal
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        if (code > next) return false
+        // expand; KwKwK when code == next (see the GIF twin)
+        var sp = 0
+        var c = if (code == next) prev else code
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        val first = c.toByte
+        stack(sp) = first; sp += 1
+        if (outPos + sp + (if (code == next) 1 else 0) > outEnd) return false
+        var k = sp - 1
+        while (k >= 0) { out(outPos) = stack(k); outPos += 1; k -= 1 }
+        if (code == next) { out(outPos) = first; outPos += 1 }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = first
+          next += 1
+          if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1 // early change
+        }
+        prev = code
+      }
+    }
+    true // strip complete; a trailing EOI code is permitted but not required
   }
 
   // ------------------------------------------------------------------

@@ -130,13 +130,14 @@ object Multimodal {
     *
     * PIXEL SOURCE: all five raster formats decode for REAL
     * (kernel.PixelDecode — pure-JVM zlib + PNG filters, raw BMP rows,
-    * from-scratch GIF LZW, raw TIFF strips, baseline-JPEG Huffman+IDCT)
-    * and the thumbnail is genuine box-resampled BT.601 luma. Payloads
-    * outside decode scope (progressive JPEG, compressed TIFF, malformed
-    * streams) get a DETERMINISTIC FAKE byte (xxhash64 of the payload
-    * hash and pixel index) standing in for the resampled value. The
-    * resize GEOMETRY is real for every format and is independently
-    * recomputed by the DuckDB oracle from the header dims.
+    * from-scratch GIF LZW, raw + LZW TIFF strips, baseline AND
+    * progressive JPEG Huffman+IDCT) and the thumbnail is genuine
+    * box-resampled BT.601 luma. Payloads outside decode scope
+    * (arithmetic-coded JPEG, JPEG-in-TIFF, malformed streams) get a
+    * DETERMINISTIC FAKE byte (xxhash64 of the payload hash and pixel
+    * index) standing in for the resampled value. The resize GEOMETRY is
+    * real for every format and is independently recomputed by the
+    * DuckDB oracle from the header dims.
     */
   private val RasterTypes = Set("png", "jpg", "gif", "tiff", "bmp")
 

@@ -280,6 +280,113 @@ object ImageGen {
     b
   }
 
+  /** Real-pixel LZW-compressed TIFF (little-endian, compression 5): 8-bit
+    * RGB, a strip per `rowsPerStrip` rows, each strip an independent
+    * MSB-first LZW stream with the TIFF early-change rule; `predictor=2`
+    * applies per-row horizontal differencing before compression.
+    */
+  def tiffLzwReal(w: Int, h: Int, rowsPerStrip: Int = 5, predictor: Int = 1)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(predictor == 1 || predictor == 2)
+    val rowBytes = w * 3
+    val raw = new Array[Byte](rowBytes * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, bl) = px(x, y)
+      val p = y * rowBytes + x * 3
+      raw(p) = r.toByte; raw(p + 1) = g.toByte; raw(p + 2) = bl.toByte
+    }
+    if (predictor == 2) { // forward horizontal differencing, per row per channel
+      for (y <- 0 until h) {
+        val ro = y * rowBytes
+        var i = rowBytes - 1
+        while (i >= 3) { raw(ro + i) = (raw(ro + i) - raw(ro + i - 3)).toByte; i -= 1 }
+      }
+    }
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = Array.tabulate(nStrips) { s =>
+      val from = s * rowsPerStrip * rowBytes
+      val until = math.min(raw.length, (s + 1) * rowsPerStrip * rowBytes)
+      tiffLzwCompress(raw, from, until)
+    }
+    val stripOffs = new Array[Int](nStrips)
+    var pos = 8
+    for (s <- 0 until nStrips) { stripOffs(s) = pos; pos += strips(s).length }
+    val bitsOff = pos; pos += 6
+    val needArrays = nStrips > 1
+    val offsOff = pos; if (needArrays) pos += nStrips * 4
+    val lensOff = pos; if (needArrays) pos += nStrips * 4
+    val ifdOff = pos
+    val nTags = if (predictor == 2) 10 else 9
+    val b = new Array[Byte](ifdOff + 2 + nTags * 12 + 4)
+    b(0) = 'I'; b(1) = 'I'; b(2) = 0x2A; b(3) = 0
+    putLe32(b, 4, ifdOff)
+    for (s <- 0 until nStrips)
+      System.arraycopy(strips(s), 0, b, stripOffs(s), strips(s).length)
+    putLe16(b, bitsOff, 8); putLe16(b, bitsOff + 2, 8); putLe16(b, bitsOff + 4, 8)
+    if (needArrays) for (s <- 0 until nStrips) {
+      putLe32(b, offsOff + s * 4, stripOffs(s))
+      putLe32(b, lensOff + s * 4, strips(s).length)
+    }
+    putLe16(b, ifdOff, nTags)
+    var t = ifdOff + 2
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
+      putLe16(b, t, id); putLe16(b, t + 2, typ); putLe32(b, t + 4, count)
+      if (typ == 3 && count == 1) putLe16(b, t + 8, value) else putLe32(b, t + 8, value)
+      t += 12
+    }
+    tag(256, 4, 1, w)           // ImageWidth
+    tag(257, 4, 1, h)           // ImageLength
+    tag(258, 3, 3, bitsOff)     // BitsPerSample
+    tag(259, 3, 1, 5)           // Compression: LZW
+    tag(262, 3, 1, 2)           // Photometric: RGB
+    if (needArrays) tag(273, 4, nStrips, offsOff) else tag(273, 4, 1, stripOffs(0))
+    tag(277, 3, 1, 3)           // SamplesPerPixel
+    tag(278, 4, 1, rowsPerStrip)
+    if (needArrays) tag(279, 4, nStrips, lensOff) else tag(279, 4, 1, strips(0).length)
+    if (predictor == 2) tag(317, 3, 1, 2)
+    b
+  }
+
+  /** TIFF LZW stream over raw[from, until): literal codes only, with the
+    * dict-growth simulation mirrored against kernel.PixelDecode's strip
+    * decoder — MSB-first packing, early change at 2^width - 1, a clear
+    * before the 12-bit dict cap. (The GIF twin above is the same scheme
+    * with LSB-first packing and late change.)
+    */
+  private def tiffLzwCompress(raw: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    val Clear = 256
+    val End = 257
+    val out = new java.io.ByteArrayOutputStream((until - from) * 3 / 2 + 16)
+    var cur = 0L
+    var curBits = 0
+    var codeSize = 9
+    var next = 258
+    var sinceClear = 0
+    def emit(code: Int): Unit = {
+      cur = (cur << codeSize) | code
+      curBits += codeSize
+      while (curBits >= 8) { out.write(((cur >> (curBits - 8)) & 0xff).toInt); curBits -= 8 }
+    }
+    emit(Clear)
+    var i = from
+    while (i < until) {
+      emit(raw(i) & 0xff)
+      if (sinceClear > 0) { // decoder defines an entry per code after the first
+        next += 1
+        if (next == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+      }
+      sinceClear += 1
+      if (next >= 4093) { // reset before the dict cap
+        emit(Clear)
+        codeSize = 9; next = 258; sinceClear = 0
+      }
+      i += 1
+    }
+    emit(End)
+    if (curBits > 0) out.write(((cur << (8 - curBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   // ---- real-pixel JPEG (baseline, from-scratch encoder) ----
 
   /** JPEG Annex K.3.1 luminance DC Huffman table (BITS, HUFFVAL). */
@@ -428,6 +535,219 @@ object ImageGen {
       }
     }
     if (nBits > 0) { val pad = 8 - nBits; put((1 << pad) - 1, pad) } // pad with 1-bits
+    b(0xFF, 0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---- real-pixel JPEG (progressive / SOF2, from-scratch encoder) ----
+
+  /** AC table for the progressive scans: uniform 8-bit codes over every
+    * symbol the scans can emit — EOBn (r ≤ 14), ZRL, and (run, size) for
+    * sizes 1..10. Annex K's AC table lacks the EOBn symbols for r > 0,
+    * and multi-block EOB runs are exactly the decoder path a progressive
+    * fixture must exercise.
+    */
+  private val ProgAcVals: Array[Int] =
+    ((0 to 14).map(r => (r << 4) | 0) ++ Seq(0xF0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private val ProgAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Real-pixel progressive JPEG (SOF2): same pixel semantics as
+    * `jpegReal` (uniform quant 4, grayscale or 4:4:4 flat-chroma YCbCr,
+    * H=V=1) but encoded as SIX scans exercising every progressive decode
+    * path — interleaved DC first (Al=1), two spectral AC-first bands
+    * with multi-block EOB runs, DC refinement (raw bits), and two AC
+    * refinement bands (correction bits + newly-significant ±1 placement
+    * + refinement EOB runs). Fully-assembled coefficients equal the
+    * baseline encoder's, so the decoded luma must be byte-identical to
+    * decoding `jpegReal` of the same pixels.
+    */
+  def jpegProgressive(w: Int, h: Int, color: Boolean = false)(
+      lumaOf: (Int, Int) => Int): Array[Byte] = {
+    val q = 4
+    val dc = huffCodes(DcBits, DcVals)
+    val ac = huffCodes(ProgAcBits, ProgAcVals)
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    def seg(marker: Int, payload: Array[Int]): Unit = {
+      b(0xFF, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    b(0xFF, 0xD8) // SOI
+    seg(0xDB, Array(0x00) ++ Array.fill(64)(q))
+    val nc = if (color) 3 else 1
+    seg(0xC2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nc) ++
+      (1 to nc).flatMap(c => Seq(c, 0x11, 0))) // SOF2: H=V=1, quant 0
+    seg(0xC4, Array(0x00) ++ DcBits ++ DcVals)
+    seg(0xC4, Array(0x10) ++ ProgAcBits ++ ProgAcVals)
+
+    // quantized zigzag coefficients per Y block (raster block order);
+    // chroma is flat (Cb=Cr=128) → all-zero blocks
+    val cos = graft.kernel.JpegDecode.CosTab
+    val zig = JpegZigzag
+    val bx = (w + 7) / 8
+    val by = (h + 7) / 8
+    val nBlocks = bx * by
+    val yBlocks = Array.ofDim[Int](nBlocks, 64)
+    val samp = new Array[Double](64)
+    val dctv = new Array[Double](64)
+    for (myy <- 0 until by; mxx <- 0 until bx) {
+      for (y <- 0 until 8; x <- 0 until 8)
+        samp(y * 8 + x) =
+          lumaOf(math.min(mxx * 8 + x, w - 1), math.min(myy * 8 + y, h - 1)) - 128.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        var s = 0.0
+        for (y <- 0 until 8; x <- 0 until 8)
+          s += samp(y * 8 + x) * cos(u)(x) * cos(v)(y)
+        dctv(v * 8 + u) = s
+      }
+      val blk = yBlocks(myy * bx + mxx)
+      for (k <- 0 until 64) blk(k) = StrictMath.round(dctv(zig(k)) / q).toInt
+    }
+    val zeroBlock = new Array[Int](64)
+    def blockAt(ci: Int, n: Int): Array[Int] = if (ci == 0) yBlocks(n) else zeroBlock
+
+    // entropy writer (MSB-first, FF-stuffed), reset per scan
+    var cur = 0L
+    var nBits = 0
+    def put(code: Int, len: Int): Unit = if (len > 0) {
+      cur = (cur << len) | (code & ((1L << len) - 1))
+      nBits += len
+      while (nBits >= 8) {
+        val v = ((cur >> (nBits - 8)) & 0xff).toInt
+        out.write(v)
+        if (v == 0xFF) out.write(0x00)
+        nBits -= 8
+      }
+    }
+    def flushScan(): Unit =
+      if (nBits > 0) { val pad = 8 - nBits; put((1 << pad) - 1, pad) }
+    def category(v: Int): Int = {
+      var t = 0
+      var a = math.abs(v)
+      while (a != 0) { t += 1; a >>= 1 }
+      t
+    }
+    def putMagnitude(v: Int, t: Int): Unit =
+      if (t > 0) put(if (v < 0) v + (1 << t) - 1 else v, t)
+    def putAc(sym: Int): Unit = { val (c, l) = ac(sym); put(c, l) }
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xDA, Array(compIds.length) ++ compIds.flatMap(c => Seq(c, 0x00)) ++
+        Seq(ss, se, (ah << 4) | al))
+
+    // scan 1: DC first, Al=1, all components (interleaved when nc=3)
+    sos(1 to nc, 0, 0, 0, 1)
+    val dcPred = new Array[Int](nc)
+    for (n <- 0 until nBlocks; ci <- 0 until nc) {
+      val v = blockAt(ci, n)(0) >> 1 // DC point transform: arithmetic shift
+      val diff = v - dcPred(ci)
+      dcPred(ci) = v
+      val t = category(diff)
+      val (c0, l0) = dc(t)
+      put(c0, l0)
+      putMagnitude(diff, t)
+    }
+    flushScan()
+
+    // AC first scans: one component each, two spectral bands, Al=1;
+    // consecutive all-zero bands batch into multi-block EOB runs
+    def acPt(v: Int): Int = if (v < 0) -((-v) >> 1) else v >> 1 // truncate toward 0
+    for ((lo, hi) <- Seq((1, 31), (32, 63)); ci <- 0 until nc) {
+      sos(Seq(ci + 1), lo, hi, 0, 1)
+      var m = 0 // pending block-endings: first is the open block's EOB
+      def flushEob(): Unit = if (m > 0) {
+        var r = 0
+        while ((2 << r) <= m) r += 1 // r = floor(log2 m)
+        putAc(r << 4)
+        if (r > 0) put(m - (1 << r), r)
+        m = 0
+      }
+      for (n <- 0 until nBlocks) {
+        val blk = blockAt(ci, n)
+        var k = lo
+        var p = lo
+        while (p <= hi) {
+          val va = acPt(blk(p))
+          if (va != 0) {
+            flushEob()
+            var r = p - k
+            while (r > 15) { putAc(0xF0); r -= 16 }
+            val s = category(va)
+            putAc((r << 4) | s)
+            putMagnitude(va, s)
+            k = p + 1
+          }
+          p += 1
+        }
+        if (k <= hi) { if (m == 32767) flushEob(); m += 1 }
+      }
+      flushEob()
+      flushScan()
+    }
+
+    // DC refinement: Ah=1 Al=0 — one raw bit (bit 0 of the DC value) per
+    // block, no Huffman
+    sos(1 to nc, 0, 0, 1, 0)
+    for (n <- 0 until nBlocks; ci <- 0 until nc) put(blockAt(ci, n)(0) & 1, 1)
+    flushScan()
+
+    // AC refinement scans: corrections for history coefficients, ±1
+    // placements for newly significant ones, EOB runs carrying the
+    // deferred correction bits of the blocks they cover
+    for ((lo, hi) <- Seq((1, 31), (32, 63)); ci <- 0 until nc) {
+      sos(Seq(ci + 1), lo, hi, 1, 0)
+      var m = 0
+      val pend = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def hist(v: Int): Boolean = math.abs(v) >= 2
+      def flushEob(): Unit = if (m > 0) {
+        var r = 0
+        while ((2 << r) <= m) r += 1
+        putAc(r << 4)
+        if (r > 0) put(m - (1 << r), r)
+        pend.foreach(put(_, 1))
+        pend.clear()
+        m = 0
+      }
+      for (n <- 0 until nBlocks) {
+        val blk = blockAt(ci, n)
+        val newsigs = (lo to hi).filter(p => math.abs(blk(p)) == 1)
+        if (newsigs.isEmpty) {
+          if (m == 32767) flushEob()
+          m += 1
+          for (p <- lo to hi; if hist(blk(p))) pend += (math.abs(blk(p)) & 1)
+        } else {
+          flushEob()
+          var k = lo
+          for (p <- newsigs) {
+            var r = (k until p).count(i => !hist(blk(i))) // zero-history gaps
+            var pos = k
+            while (r > 15) { // ZRL: 16 zero slots, corrections interleaved
+              putAc(0xF0)
+              var zeros = 0
+              while (zeros < 16) {
+                if (hist(blk(pos))) put(math.abs(blk(pos)) & 1, 1) else zeros += 1
+                pos += 1
+              }
+              r -= 16
+            }
+            putAc((r << 4) | 1)
+            put(if (blk(p) > 0) 1 else 0, 1) // sign of the ±1 placement
+            while (pos < p) { // corrections up to the placement slot
+              if (hist(blk(pos))) put(math.abs(blk(pos)) & 1, 1)
+              pos += 1
+            }
+            k = p + 1
+          }
+          if (k <= hi) { // band remainder rides the next EOB run
+            m += 1
+            for (p <- k to hi; if hist(blk(p))) pend += (math.abs(blk(p)) & 1)
+          }
+        }
+      }
+      flushEob()
+      flushScan()
+    }
     b(0xFF, 0xD9) // EOI
     out.toByteArray
   }

@@ -54,7 +54,16 @@ object StreamingSessionize {
           // lastSec; within a batch we sort) folds into the open session
           // without regressing its frontier — otherwise later gap
           // decisions, the timeout timestamp, and durations would move
-          // backwards and diverge from the batch answer
+          // backwards and diverge from the batch answer.
+          // RESIDUAL DIVERGENCE (documented, not folded): startSec is
+          // also never extended BACKWARD, so a cross-batch late event
+          // with ts < the open session's first-seen event (possible
+          // inside the 1h watermark vs the 1800s gap) yields a shorter
+          // duration_seconds than the batch oracle's max(ts)-min(ts).
+          // Folding startSec with min would trade one divergence for
+          // another: batch would often assign that event to an EARLIER
+          // session entirely. The near-ordered-fixture contract (the
+          // equivalence spec's input shape) keeps both shapes out.
           cur = cur.copy(
             lastSec = math.max(cur.lastSec, sec),
             lastMs = math.max(cur.lastMs, ms),

@@ -94,6 +94,8 @@ object Fuzz {
       ImageGen.bmpReal(23, 17)(px),
       ImageGen.gifReal(23, 17, (0 until 8).map(i => (i * 30, i * 20, i * 10)))((x, y) => (x + y) % 8),
       ImageGen.tiffReal(23, 17)(px),
-      ImageGen.jpegReal(23, 17, color = true)((x, y) => (x * 9 + y * 7) & 0xff))
+      ImageGen.tiffLzwReal(23, 17, predictor = 2)(px),
+      ImageGen.jpegReal(23, 17, color = true)((x, y) => (x * 9 + y * 7) & 0xff),
+      ImageGen.jpegProgressive(23, 17, color = true)((x, y) => (x * 9 + y * 7) & 0xff))
   }
 }

@@ -144,6 +144,47 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decodeLuma(ImageGen.tiff(30, 20)).isEmpty)
   }
 
+  test("TIFF LZW: strip round-trip across code widths, clears, and the predictor") {
+    // 80×60 drives the dict past the 9→10→11-bit early changes; the
+    // single-strip case also crosses the mid-stream clear at 4093
+    val (w, h) = (80, 60)
+    for (predictor <- Seq(1, 2); rps <- Seq(13, 64)) {
+      val tif = ImageGen.tiffLzwReal(w, h, rowsPerStrip = rps, predictor = predictor)(gradient)
+      val img = PixelDecode.decodeLuma(tif).get
+      assert(img.width == w && img.height == h, s"p=$predictor rps=$rps")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = gradient(x, y)
+        assert((img.luma(y * w + x) & 0xff) == PixelDecode.luma601(r, g, b),
+          s"($x,$y) p=$predictor rps=$rps")
+      }
+    }
+    // corrupted LZW payload: total, no throw
+    val tif = ImageGen.tiffLzwReal(w, h)(gradient)
+    val junk = tif.clone()
+    for (i <- 12 until 200) junk(i) = 0x77
+    PixelDecode.decodeLuma(junk) // must not throw
+  }
+
+  test("TIFF: a short NON-final strip is malformed -> None, not shifted rows") {
+    val (w, h) = (21, 13)
+    val tif = ImageGen.tiffReal(w, h, rowsPerStrip = 4)(gradient) // 4 strips
+    // tag 279 (StripByteCounts, LONG, count 4) stores its array at an
+    // offset; shrink the FIRST strip's count by 3 — every later row would
+    // shift, so the decode must refuse
+    val patched = tif.clone()
+    val ti = (0 until patched.length - 3).find(i =>
+      (patched(i) & 0xff) == 0x17 && (patched(i + 1) & 0xff) == 0x01 &&
+        (patched(i + 2) & 0xff) == 0x04).get
+    def rdLe32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val lensOff = rdLe32(patched, ti + 8)
+    val short0 = rdLe32(patched, lensOff) - 3
+    patched(lensOff) = short0.toByte
+    patched(lensOff + 1) = (short0 >> 8).toByte
+    assert(PixelDecode.decodeLuma(patched).isEmpty)
+    assert(PixelDecode.decodeLuma(tif).nonEmpty) // control
+  }
+
   test("JPEG: flat blocks decode EXACTLY; gradients within quantization tolerance") {
     // flat image: DC-only blocks, quant 4 divides 8*(v-128) exactly → the
     // whole decode chain (huffman, dequant, IDCT) must reproduce v
@@ -179,13 +220,45 @@ class PixelDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decodeLuma(ImageGen.jpeg(30, 20)).isEmpty)
   }
 
+  test("JPEG progressive: byte-identical to the baseline decode of the same pixels") {
+    // the six-scan progressive encoding reassembles the SAME quantized
+    // coefficients as the baseline encoder, so the decoded luma planes
+    // must match exactly — this pins DC first/refine, both AC bands'
+    // first+refine, EOB runs, and ±1 placements in one equality
+    val (w, h) = (41, 27) // edge-clamped partial blocks included
+    def lum(x: Int, y: Int): Int = (x * 5 + y * 7) % 256
+    for (color <- Seq(false, true)) {
+      val base = PixelDecode.decodeLuma(ImageGen.jpegReal(w, h, color)(lum)).get
+      val prog = PixelDecode.decodeLuma(ImageGen.jpegProgressive(w, h, color)(lum)).get
+      assert(prog.width == w && prog.height == h, s"color=$color")
+      assert(prog.luma.sameElements(base.luma), s"progressive != baseline color=$color")
+    }
+    // flat image: DC-only → exact reconstruction end-to-end
+    for (v <- Seq(0, 77, 255)) {
+      val img = PixelDecode.decodeLuma(ImageGen.jpegProgressive(24, 16)((_, _) => v)).get
+      assert(img.luma.forall(b => (b & 0xff) == v), s"flat $v")
+    }
+    // sparse blocks: mostly-zero bands force long EOB runs in both the
+    // first and refinement scans
+    val sparse = PixelDecode.decodeLuma(
+      ImageGen.jpegProgressive(64, 48)((x, y) => if (x == 13 && y == 29) 250 else 128)).get
+    val sparseBase = PixelDecode.decodeLuma(
+      ImageGen.jpegReal(64, 48)((x, y) => if (x == 13 && y == 29) 250 else 128)).get
+    assert(sparse.luma.sameElements(sparseBase.luma))
+    // truncated progressive stream: total, None or consistent — no throw
+    val p = ImageGen.jpegProgressive(41, 27)(lum)
+    assert(PixelDecode.decodeLuma(p.dropRight(p.length / 3)).forall(_ => true))
+  }
+
   test("thumbOf: PNG/BMP/GIF/TIFF/JPEG thumbnails are the exact box-mean of the real pixels") {
     val (w, h) = (40, 24)
     for (payload <- Seq(
         ImageGen.pngReal(w, h)(gradient), ImageGen.bmpReal(w, h)(gradient),
         ImageGen.gifReal(w, h, testPalette)((x, y) => (x + y) % 8),
         ImageGen.tiffReal(w, h)(gradient),
-        ImageGen.jpegReal(w, h)((x, y) => (x * 4 + y * 6) % 250))) {
+        ImageGen.tiffLzwReal(w, h, predictor = 2)(gradient),
+        ImageGen.jpegReal(w, h)((x, y) => (x * 4 + y * 6) % 250),
+        ImageGen.jpegProgressive(w, h)((x, y) => (x * 4 + y * 6) % 250))) {
       val t = Multimodal.thumbOf(Page("img://x", null, payload, "", "en")).get
       assert(t.thumb_w == Multimodal.ThumbMax)
       assert(t.thumb_h == h * Multimodal.ThumbMax / w)
