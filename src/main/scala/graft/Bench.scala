@@ -167,7 +167,7 @@ object Bench {
       "para_scrub", "text_repetition", "text_pii", "text_chunks",
       "text_lm_score", "q_asof_join", "q_sessionize",
       "decontaminate", "substring_dedup", "substring_dedup_hashed",
-      "corpus_pack")
+      "corpus_pack", "bpe_pair_stats")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation
@@ -193,11 +193,16 @@ object Bench {
       val fn = rawOps.getOrElse(name, SparkEntry.queries(name))
       // warm-up excludes JIT (matches the extract pass methodology)
       fn(sHi, sfDir).agg(count(lit(1))).collect()
-      val (_, t) = timed {
-        val df = fn(sHi, sfDir)
-        df.agg(count(lit(1))).collect()
+      // best-of-2: a single timed run is exposed to ambient bursts on
+      // this shared host (a 3× one-off was observed on identical code);
+      // min-of-2 matches the headline's best-of methodology
+      val reps = (0 until 2).map { _ =>
+        val (_, t) = timed {
+          fn(sHi, sfDir).agg(count(lit(1))).collect()
+        }
+        t
       }
-      name -> t
+      name -> reps.min
     }
 
     // ---- dedup at extraction scale: MinHash-LSH over the EXTRACTED

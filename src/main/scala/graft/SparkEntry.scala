@@ -342,6 +342,7 @@ object SparkEntry {
       "text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
       "text_quality" -> ((s, dir) => TextAnalysis.textQuality(s, dir)),
       "text_top_tokens" -> ((s, dir) => TextAnalysis.textTopTokens(s, dir)),
+      "bpe_pair_stats" -> ((s, dir) => TextAnalysis.bpePairStats(s, dir)),
       "text_langid" -> ((s, dir) => TextAnalysis.langidConfusion(
         materialize(s, s"${oracleBase(dir)}/langid_pairs")(TextAnalysis.langidPairs(s, dir)))),
       "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprintGroups(
@@ -362,6 +363,7 @@ object SparkEntry {
       // both engines is also the hash-collision-freedom check
       "substring_dedup_hashed" -> ((s, dir) => graft.operators.TrainingSet.substringDedupHashed(s, dir)),
       "corpus_mix" -> ((s, dir) => graft.operators.TrainingSet.corpusMix(s, dir)),
+      "corpus_mix_sample" -> ((s, dir) => graft.operators.TrainingSet.corpusMixSample(s, dir)),
       "corpus_pack" -> ((s, dir) => graft.operators.TrainingSet.corpusPack(s, dir)),
       // ---- non-parquet sources: the SAME staged files are read by both
       // engines with their own CSV/JSON readers, so the formats' parsing
@@ -728,6 +730,7 @@ object SparkEntry {
       "text_stats" -> TextAnalysis.textStatsSql,
       "text_quality" -> TextAnalysis.textQualitySql,
       "text_top_tokens" -> TextAnalysis.textTopTokensSql,
+      "bpe_pair_stats" -> TextAnalysis.bpePairStatsSql,
       "corpus_split" -> TextAnalysis.corpusSplitSql,
       "text_pii" -> TextAnalysis.textPiiSql,
       "text_chunks" -> TextAnalysis.textChunksSql,
@@ -740,6 +743,7 @@ object SparkEntry {
       // string-keyed answer exactly (xxhash64 keys are an internal detail)
       "substring_dedup_hashed" -> graft.operators.TrainingSet.substringDedupSql,
       "corpus_mix" -> graft.operators.TrainingSet.corpusMixSql,
+      "corpus_mix_sample" -> graft.operators.TrainingSet.corpusMixSampleSql,
       "corpus_pack" -> graft.operators.TrainingSet.corpusPackSql,
       // non-parquet sources: DuckDB reads the SAME staged files with ITS
       // OWN csv/json readers — format parsing is cross-engine-verified

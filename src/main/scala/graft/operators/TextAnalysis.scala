@@ -108,6 +108,42 @@ object TextAnalysis {
       | SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM documents) t
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** One BPE merge-selection step at corpus scale — the inner loop of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    * frequency of adjacent symbol pairs WITHIN words (characters here,
+    * i.e. the first merge round), top 32 by count with a total-order
+    * tiebreak. Training a tokenizer iterates this exact shape: pick the
+    * most frequent pair, re-segment, recount.
+    *
+    * Scale shape: the pair explode fans out to ~1 row per corpus
+    * character, but the pair alphabet is tiny (≤36² for [a-z0-9]) so
+    * map-side partial aggregation collapses every partition to its
+    * distinct pairs before the shuffle — (pair, partial-count) rows,
+    * KBs per partition at ANY corpus size. The top-32 runs as
+    * TakeOrderedAndProject on the ~1.3k-row agg output, never a global
+    * sort. Pure codegen expressions (transform/sequence/substr), no UDF.
+    */
+  def bpePairStats(s: SparkSession, dir: String): DataFrame =
+    Relational.table(s, dir, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(32)
+
+  val bpePairStatsSql: String =
+    """WITH words AS (
+      | SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |pairs AS (
+      | SELECT substr(w, CAST(i AS INT), 2) AS pair FROM (
+      |  SELECT w, unnest(range(1, length(w))) AS i
+      |  FROM words WHERE length(w) >= 2))
+      |SELECT pair, count(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 32""".stripMargin
+
   /** Deterministic train/val/test split assignment — every corpus needs
     * one, and it must be a pure function of a stable key (NOT random:
     * reruns, resumes, and incremental appends must land each doc in the

@@ -369,4 +369,64 @@ object TrainingSet {
        | round(pow(n_docs, $MixAlpha) / ptot, 4) AS mix_frac,
        | round(pow(n_docs, $MixAlpha) / ptot / (n_docs / tot), 3) AS boost
        |FROM c, t ORDER BY lang""".stripMargin
+
+  /** Deterministic temperature RESAMPLING — materializes the mix that
+    * corpusMix only plans. Each document's language boost becomes a
+    * repeat factor: floor(boost) guaranteed copies plus one extra copy
+    * iff a Knuth multiplicative hash of doc_id lands under the boost's
+    * fractional part (boost < 1 → probabilistic downsampling of the
+    * dominant language; boost > 1 → epoch expansion of rare ones — the
+    * mT5/XLM-R upsampling recipe, derandomized). NOT random by design:
+    * reruns, resumes, and incremental appends must duplicate/drop
+    * exactly the same documents (the corpusSplit stability argument).
+    *
+    * All threshold arithmetic is INTEGER on the 3-decimal-rounded boost
+    * (fm = round(boost·1000)) so both engines decide every doc
+    * identically — comparing raw double thresholds cross-engine would
+    * hinge on pow() ULPs. The hash prime (999983) differs from
+    * corpusSplit's (1000003) so sampling never correlates with split
+    * membership. Scale shape: one broadcast of the per-lang mix + one
+    * narrow projection + one agg; doc text never moves (a materializing
+    * variant is a narrow flatMap emitting `copies` rows per doc).
+    */
+  def corpusMixSample(s: SparkSession, dir: String): DataFrame = {
+    val mix = corpusMix(s, dir).select(col("lang"), col("boost"))
+    val perLang = Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(mix), Seq("lang"))
+      .withColumn("fm", round(col("boost") * 1000).cast("long"))
+      .withColumn("h", ((col("doc_id") % 999983L) * lit(2654435761L)) % 1000L)
+      .withColumn("copies",
+        expr("fm div 1000") +
+          when(col("h") < pmod(col("fm"), lit(1000L)), 1L).otherwise(0L))
+      .groupBy(col("lang"), col("boost"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("copies")).as("n_sampled"))
+    val tot = perLang.agg(sum(col("n_sampled")).as("tot_sampled"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("boost"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_docs"), 3).as("realized_boost"),
+        round(col("n_sampled").cast("double") / col("tot_sampled"), 4).as("realized_frac"))
+      .orderBy(col("lang"))
+  }
+
+  def corpusMixSampleSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT sum(n_docs) AS tot, sum(pow(n_docs, $MixAlpha)) AS ptot FROM c),
+       |mix AS (SELECT lang,
+       |  round(pow(n_docs, $MixAlpha) / ptot / (n_docs / tot), 3) AS boost FROM c, t),
+       |d AS (
+       | SELECT doc.lang, m.boost,
+       |  CAST(round(m.boost * 1000) AS BIGINT) AS fm,
+       |  ((doc.doc_id % 999983) * 2654435761) % 1000 AS h
+       | FROM documents doc JOIN mix m USING (lang)),
+       |s AS (
+       | SELECT lang, boost, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(fm // 1000 + CASE WHEN h < fm % 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled
+       | FROM d GROUP BY lang, boost),
+       |tt AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS tot_sampled FROM s)
+       |SELECT lang, n_docs, boost, n_sampled,
+       | round(CAST(n_sampled AS DOUBLE) / n_docs, 3) AS realized_boost,
+       | round(CAST(n_sampled AS DOUBLE) / tot_sampled, 4) AS realized_frac
+       |FROM s, tt ORDER BY lang""".stripMargin
 }

@@ -188,6 +188,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bpe_pair_stats: partial agg collapses the pair explode; top-k never global-sorts") {
+    val plan = physicalPlan(
+      graft.operators.TextAnalysis.bpePairStats(spark, "/root/testdata/sf0.001"))
+    // ~1 exploded row per corpus character MUST partial-aggregate down to
+    // the tiny pair alphabet before the exchange
+    assert(plan.contains("partial_count"), plan)
+    // top-32 over the agg output is TakeOrderedAndProject, not Sort+Limit
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exists subquery: decorrelates to a broadcast semi join, scalar avg is one tiny agg") {
     val plan = physicalPlan(Relational.qExistsSubquery(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("LeftSemi"), s"EXISTS must decorrelate to a semi join:\n$plan")

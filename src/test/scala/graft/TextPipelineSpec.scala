@@ -208,6 +208,32 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(n => n >= 1 && n <= windowsPerSnippet.toLong))
   }
 
+  test("bpe_pair_stats: one merge-selection round over the corpus") {
+    val rows = SparkEntry.queries("bpe_pair_stats")(spark, sf0001)
+      .as[(String, Long)].collect()
+    assert(rows.length == 32)
+    // every pair is two symbols from the word alphabet
+    rows.foreach { case (p, n) =>
+      assert(p.length == 2 && p.forall(c => c.isDigit || (c >= 'a' && c <= 'z')), p)
+      assert(n > 0)
+    }
+    // ranking is count-desc with pair-asc tiebreak (total order)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1), s"$a !>= $b")
+    }
+    // cross-check the top pair against a direct per-word recount
+    val words = graft.operators.Relational.table(spark, sf0001, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    words.foreach { w =>
+      var i = 0
+      while (i + 1 < w.length) { counts(w.substring(i, i + 2)) += 1; i += 1 }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(32)
+    assert(rows.toSeq == want)
+  }
+
   test("substring_dedup: planted near-dup pairs share their window sets") {
     val rows = SparkEntry.queries("substring_dedup")(spark, sf0001)
       .as[(Long, Long, Long, Double)].collect()
@@ -290,6 +316,28 @@ class TextPipelineSpec extends AnyFunSuite {
     // meaningfully dense, not one-doc-per-sequence
     val meanDocs = rows.map(_._3).sum.toDouble / rows.length
     assert(meanDocs > 1.5, s"packing degenerated to ~1 doc/seq ($meanDocs)")
+  }
+
+  test("corpus_mix_sample: deterministic resampling realizes the planned boosts") {
+    val rows = SparkEntry.queries("corpus_mix_sample")(spark, sf0001)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (lang, nDocs, boost, nSampled, realized, _) =>
+      // copies = floor(boost) + Bernoulli(frac) under a uniform-ish hash:
+      // the realized boost must track the planned one
+      assert(math.abs(realized - boost) < 0.25, s"$lang planned $boost realized $realized")
+      // hard bounds: floor(boost) <= realized <= ceil(boost)
+      assert(nSampled >= nDocs * math.floor(boost).toLong, lang)
+      assert(nSampled <= nDocs * math.ceil(boost).toLong, lang)
+    }
+    // dominant language downsampled (boost < 1), rarest upsampled (> 1)
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.last._4 < bySize.last._2) // en: fewer sampled than docs
+    assert(bySize.head._4 > bySize.head._2) // rarest: more sampled than docs
+    // determinism: a second run is identical (hash thresholds, no rand)
+    val again = SparkEntry.queries("corpus_mix_sample")(spark, sf0001)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
   }
 
   test("corpus_mix: temperature weights sum to 1 and boost is inverse to size") {
