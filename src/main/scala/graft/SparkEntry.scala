@@ -296,6 +296,18 @@ object SparkEntry {
           .select(col("url"), col("n_bytes"), col("frame_no"), col("byte_off"))
           .orderBy(col("url"), col("frame_no"))
       }),
+      // OCR: render → decode → recognize per doc (kernel.GlyphOcr); the
+      // per-doc frame materializes so DuckDB independently re-compares
+      // expected vs recognized text and re-derives the summary
+      "mm_ocr" -> ((s, dir) => {
+        val mat = materialize(s, s"${oracleBase(dir)}/ocr_results")(
+          Multimodal.ocrResults(s, dir).toDF())
+        mat.agg(
+          count(lit(1)).as("n_images"),
+          sum(when(col("recognized") === col("expected"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("recognized") =!= col("expected"), 1L).otherwise(0L)).as("n_mismatched"),
+          sum(col("n_payload_bytes")).as("total_payload_bytes"))
+      }),
       // ---- dedup family ----
       "dedup_exact" -> ((s, dir) => Dedup.dedupExact(s, dir)),
       "dedup_ngram_jaccard" -> ((s, dir) => Dedup.dedupNgramJaccard(s, dir)),
@@ -502,6 +514,14 @@ object SparkEntry {
            | CAST(i * n_bytes // ${Multimodal.FramesPerDoc} AS BIGINT) AS byte_off
            |FROM ${rp("media_meta")}, (SELECT unnest([0, 1, 2, 3]) AS i) g
            |WHERE n_bytes >= 16 ORDER BY url, frame_no""".stripMargin,
+      // a second engine re-compares recognized vs expected text per doc
+      // and re-derives the OCR summary
+      "mm_ocr" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_images,
+           | CAST(sum(CASE WHEN recognized = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           | CAST(sum(CASE WHEN recognized <> expected THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           | CAST(sum(n_payload_bytes) AS BIGINT) AS total_payload_bytes
+           |FROM ${rp("ocr_results")}""".stripMargin,
       "mm_triage" ->
         s"""SELECT media_type, CAST(count(*) AS BIGINT) AS n_docs,
            | CAST(sum(n_bytes) AS BIGINT) AS total_bytes,

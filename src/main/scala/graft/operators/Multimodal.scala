@@ -200,6 +200,40 @@ object Multimodal {
     * container demuxer to these offsets; the offsets themselves are
     * exact and independently recomputed by the DuckDB oracle.
     */
+  // ------------------------------------------------------------------
+  // OCR (image → text) — kernel.GlyphOcr
+  // ------------------------------------------------------------------
+
+  final case class OcrResult(
+      doc_id: Long, expected: String, recognized: String, n_payload_bytes: Long)
+
+  /** The image→text branch the reference serves with Tesseract / a
+    * vision LLM, with the glyph model swapped for the from-scratch
+    * exact recognizer (kernel.GlyphOcr scaladoc — the model, not the
+    * pipeline, is the seam). Per document: render its normalized text
+    * prefix as a REAL PNG page image (the corpus side), then run the
+    * full OCR chain on the opaque payload — pixel decode → binarize →
+    * segment → classify — and emit expected vs recognized.
+    *
+    * Scale shape: one narrow typed map; the image payload lives and
+    * dies inside its task (never shuffled, never collected) — exactly
+    * the per-row OCR kernel shape a Tesseract-backed executor batch
+    * would have, minus the native call.
+    */
+  def ocrResults(s: SparkSession, dir: String): Dataset[OcrResult] = {
+    import s.implicits._
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val expected = graft.kernel.GlyphOcr.normalize(text.take(64)).take(24).trim
+        val payload = graft.sources.ImageGen.textImageReal(Seq(expected), scale = 2)
+        val recognized = graft.kernel.PixelDecode.decodeLuma(payload)
+          .flatMap(graft.kernel.GlyphOcr.recognize).getOrElse("")
+        OcrResult(id, expected, recognized, payload.length.toLong)
+      }
+  }
+
   def frameSamples(s: SparkSession, dir: String): Dataset[FrameSample] = {
     import s.implicits._
     PageSynth.pages(s, dir).flatMap { p =>

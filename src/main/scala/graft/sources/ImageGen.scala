@@ -387,6 +387,41 @@ object ImageGen {
     out.toByteArray
   }
 
+  /** Machine-rendered TEXT image (the OCR fixture): lines of
+    * kernel.GlyphOcr's 5×7 bitmap font, black on white, integer
+    * `scale`, one spacing column per glyph cell and two blank rows
+    * between lines, margin all around — rendered as a real grayscale
+    * PNG so the OCR path exercises the actual decode chain. Characters
+    * outside the font render as spaces (callers should pre-normalize
+    * via GlyphOcr.normalize).
+    */
+  def textImageReal(lines: Seq[String], scale: Int = 2): Array[Byte] = {
+    require(scale >= 1 && scale <= 8)
+    import graft.kernel.GlyphOcr
+    val margin = 2 * scale
+    val cellW = GlyphOcr.CellW * scale
+    val pitch = GlyphOcr.LinePitch * scale
+    val maxLen = if (lines.isEmpty) 0 else lines.map(_.length).max
+    val w = math.max(1, maxLen * cellW + 2 * margin)
+    val h = math.max(1, lines.length * pitch - 2 * scale + 2 * margin)
+    pngReal(w, h) { (x, y) =>
+      val li = (y - margin) / pitch
+      val ry = (y - margin) - li * pitch
+      val on =
+        y >= margin && li >= 0 && li < lines.length && ry < 7 * scale && {
+          val ci = (x - margin) / cellW
+          val rx = (x - margin) - ci * cellW
+          x >= margin && ci >= 0 && ci < lines(li).length && rx < 5 * scale &&
+            (GlyphOcr.Glyphs.get(lines(li).charAt(ci)) match {
+              case Some(rows) => (rows(ry / scale) & (1 << (4 - rx / scale))) != 0
+              case None       => false
+            })
+        }
+      val v = if (on) 0 else 255
+      (v, v, v)
+    }
+  }
+
   // ---- real-pixel JPEG (baseline, from-scratch encoder) ----
 
   /** JPEG Annex K.3.1 luminance DC Huffman table (BITS, HUFFVAL). */

@@ -73,7 +73,10 @@ object Fuzz {
           mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
           m += 1
         }
-        graft.kernel.PixelDecode.decodeLuma(mut) // throwing is the failure
+        // throwing is the failure, for the decoder AND the OCR chain
+        // running on whatever (possibly garbage) pixels it produced
+        graft.kernel.PixelDecode.decodeLuma(mut)
+          .foreach(graft.kernel.GlyphOcr.recognize)
         pixelChecked += 1
       }
       i += 1
