@@ -251,6 +251,34 @@ object SparkEntry {
             sum(col("n_chars").cast("long")).as("total_chars"))
           .orderBy(col("profile"))
       }),
+      // the graft-ocr ENGINE PROFILE end-to-end: real rendered PNG page
+      // payloads through the FULL extract kernel (dispatch → pixel
+      // decode → GlyphOcr) — not just the recognizer in isolation.
+      // Completed rows must carry the recognized text; DuckDB re-joins
+      // the materialized rows against expectations per url.
+      "extract_ocr_engine" -> ((s, dir) => {
+        val mat = materialize(s, s"${oracleBase(dir)}/ocr_engine") {
+          import s.implicits._
+          val pages = Relational.table(s, dir, "documents")
+            .select(col("doc_id"), col("text")).as[(Long, String)]
+            .map { case (id, text) =>
+              val expected = graft.kernel.GlyphOcr.normalize(text.take(64)).take(24).trim
+              graft.model.Page(s"img://ocr/$id", null,
+                graft.sources.ImageGen.textImageReal(Seq(expected), 2), expected, "en")
+            }
+          val extracted = ExtractJob.extract(s, pages, buckets = 32,
+            profile = graft.kernel.ExtractKernel.Profile("graft-ocr")).toDF()
+          extracted
+            .join(pages.toDF().select(col("url"), col("text").as("expected")), Seq("url"))
+            .select(col("url"), col("expected"), col("status"), col("engine"),
+              col("text").as("recognized"))
+        }
+        mat.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "completed", 1L).otherwise(0L)).as("n_completed"),
+          sum(when(col("recognized") === col("expected"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("engine") === "graft-ocr", 1L).otherwise(0L)).as("n_engine_tagged"))
+      }),
       // ---- paragraph-level dedup (CCNet/RefinedWeb boilerplate scrub) ----
       // both recomputed from the materialized extracted table on BOTH
       // engines — DuckDB independently re-splits, re-counts df, and
@@ -514,6 +542,13 @@ object SparkEntry {
            | CAST(i * n_bytes // ${Multimodal.FramesPerDoc} AS BIGINT) AS byte_off
            |FROM ${rp("media_meta")}, (SELECT unnest([0, 1, 2, 3]) AS i) g
            |WHERE n_bytes >= 16 ORDER BY url, frame_no""".stripMargin,
+      // a second engine re-joins extracted rows vs expectations per url
+      "extract_ocr_engine" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+           | CAST(sum(CASE WHEN recognized = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           | CAST(sum(CASE WHEN engine = 'graft-ocr' THEN 1 ELSE 0 END) AS BIGINT) AS n_engine_tagged
+           |FROM ${rp("ocr_engine")}""".stripMargin,
       // a second engine re-compares recognized vs expected text per doc
       // and re-derives the OCR summary
       "mm_ocr" ->

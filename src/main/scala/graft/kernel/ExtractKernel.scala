@@ -100,12 +100,29 @@ object ExtractKernel {
         Extracted(p.url, Failed, "", Seq.empty,
           MergeSpec.resolutionTooLarge(d.width, d.height), 0, 0, profile.engine, bucket)
       case _ =>
-        // raster within cap still lands here: this engine has no OCR
-        // codec, so image payloads are unsupported-by-design (documented
-        // divergence — the single-unit HTML branch plays process_image's
-        // role); everything else is a genuinely unknown payload
-        Extracted(p.url, Failed, "", Seq.empty,
-          MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
+        // "graft-ocr" profile (engine EXTENSION, not in the reference):
+        // raster payloads run the in-sandbox OCR chain — pixel decode
+        // (kernel.PixelDecode) → glyph recognition (kernel.GlyphOcr).
+        // Recognition refusal falls through to the default row below, so
+        // opting in never converts a failure into wrong text.
+        val ocr =
+          if (profile.engine == "graft-ocr")
+            PixelDecode.decodeLuma(b).flatMap(GlyphOcr.recognize)
+          else None
+        ocr match {
+          case Some(txt) =>
+            // single-unit image doc: recognized text verbatim (like the
+            // single-unit HTML branch); no source spans — OCR text has no
+            // byte offsets into the payload
+            Extracted(p.url, Completed, txt, Seq.empty, "", 1, 0, profile.engine, bucket)
+          case None =>
+            // raster within cap (default engines): unsupported-by-design
+            // (documented divergence — the reference OCRs here via
+            // Tesseract/vision LLM; byte-matching their models is
+            // impossible); everything else is a genuinely unknown payload
+            Extracted(p.url, Failed, "", Seq.empty,
+              MergeSpec.unsupportedType(sniffExtLabel(b)), 0, 0, profile.engine, bucket)
+        }
     }
   }
 

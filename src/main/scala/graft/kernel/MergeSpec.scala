@@ -99,9 +99,11 @@ object MergeSpec {
 
   /** Engine whitelist (the upload gate's ocr_type check, routes.py:36-39):
     * an invalid engine is rejected AT SUBMISSION with the reference's
-    * literal, not mapped to per-row failures.
+    * literal, not mapped to per-row failures. "graft-ocr" is this
+    * engine's own addition (in-sandbox glyph OCR, kernel.GlyphOcr) —
+    * the reference's three stay byte-compatible.
     */
-  val ValidEngines: Set[String] = Set("standard", "llm", "ollama")
+  val ValidEngines: Set[String] = Set("standard", "llm", "ollama", "graft-ocr")
 
   /** routes.py:39: "不支持的OCR类型: {ocr_type}", code INVALID_OCR_TYPE. */
   def invalidOcrType(t: String): String = s"不支持的OCR类型: $t"

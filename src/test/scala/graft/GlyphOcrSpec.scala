@@ -69,6 +69,40 @@ class GlyphOcrSpec extends AnyFunSuite {
     GlyphOcr.recognize(noisy) // no throw
   }
 
+  test("graft-ocr engine profile: raster payloads extract to Completed OCR text") {
+    import graft.kernel.{ExtractKernel, MergeSpec}
+    import graft.model.PageRaw
+    val prof = ExtractKernel.Profile("graft-ocr")
+    // a real rendered image extracts to a Completed single-unit doc
+    val want = "PAGE 42 CONTENT"
+    val r = ExtractKernel.extractRaw(
+      PageRaw("img://a", ImageGen.textImageReal(Seq(want), 2)), 0, prof)
+    assert(r.status == "completed" && r.text == want && r.engine == "graft-ocr")
+    assert(r.n_pages == 1 && r.n_failed_pages == 0)
+    // an undecodable (header-only) image falls through to the default
+    // unsupported-type row — opting in never fabricates text
+    val r2 = ExtractKernel.extractRaw(PageRaw("img://b", ImageGen.png(40, 30)), 0, prof)
+    assert(r2.status == "failed" && r2.error == MergeSpec.unsupportedType(".png"))
+    // the DEFAULT engines are byte-for-byte unchanged on the same payload
+    val r3 = ExtractKernel.extractRaw(
+      PageRaw("img://c", ImageGen.textImageReal(Seq(want), 2)), 0, ExtractKernel.Standard)
+    assert(r3.status == "failed" && r3.error == MergeSpec.unsupportedType(".png"))
+    // the resolution cap still fires FIRST under graft-ocr
+    val r4 = ExtractKernel.extractRaw(PageRaw("img://d", ImageGen.png(5000, 5000)), 0, prof)
+    assert(r4.status == "failed" && r4.error == MergeSpec.resolutionTooLarge(5000, 5000))
+    // the engine whitelist admits the extension and still rejects junk
+    assert(MergeSpec.ValidEngines("graft-ocr") && !MergeSpec.ValidEngines("tesseract"))
+  }
+
+  test("extract_ocr_engine: full-kernel OCR run over rendered pages, all exact") {
+    import TestSpark.{sf0001, spark}
+    import spark.implicits._
+    val (nDocs, nCompleted, nExact, nTagged) =
+      SparkEntry.queries("extract_ocr_engine")(spark, sf0001)
+        .as[(Long, Long, Long, Long)].head()
+    assert(nDocs == 500L && nCompleted == 500L && nExact == 500L && nTagged == 500L)
+  }
+
   test("mm_ocr: zero mismatches over the smoke corpus, oracle-shaped summary") {
     import TestSpark.{sf0001, spark}
     import spark.implicits._
