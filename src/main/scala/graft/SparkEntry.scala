@@ -251,6 +251,14 @@ object SparkEntry {
             sum(col("n_chars").cast("long")).as("total_chars"))
           .orderBy(col("profile"))
       }),
+      // audio: real WAV payloads through the full parse chain; the
+      // decoded sample frame materializes and DuckDB recomputes the
+      // energy/zero-crossing features with its own window functions
+      "mm_audio" -> ((s, dir) => {
+        val mat = materialize(s, s"${oracleBase(dir)}/audio_samples")(
+          Multimodal.audioSamples(s, dir))
+        Multimodal.audioFeatures(mat)
+      }),
       // the graft-ocr ENGINE PROFILE end-to-end: real rendered PNG page
       // payloads through the FULL extract kernel (dispatch → pixel
       // decode → GlyphOcr) — not just the recognizer in isolation.
@@ -542,6 +550,19 @@ object SparkEntry {
            | CAST(i * n_bytes // ${Multimodal.FramesPerDoc} AS BIGINT) AS byte_off
            |FROM ${rp("media_meta")}, (SELECT unnest([0, 1, 2, 3]) AS i) g
            |WHERE n_bytes >= 16 ORDER BY url, frame_no""".stripMargin,
+      // a second engine recomputes the audio features from the decoded
+      // samples with its own window functions
+      "mm_audio" ->
+        s"""SELECT doc_id, sample_rate, CAST(count(*) AS BIGINT) AS n_samples,
+           | CAST(sum(CAST(sample AS BIGINT) * sample) AS BIGINT) AS sum_energy,
+           | CAST(coalesce(sum(flip), 0) AS BIGINT) AS n_zero_crossings
+           |FROM (
+           | SELECT doc_id, sample_rate, sample,
+           |  CASE WHEN (sample < 0) <>
+           |   (lag(sample) OVER (PARTITION BY doc_id ORDER BY idx) < 0)
+           |   THEN 1 ELSE 0 END AS flip
+           | FROM ${rp("audio_samples")})
+           |GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin,
       // a second engine re-joins extracted rows vs expectations per url
       "extract_ocr_engine" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -201,6 +201,73 @@ object Multimodal {
     * exact and independently recomputed by the DuckDB oracle.
     */
   // ------------------------------------------------------------------
+  // Audio (RIFF/WAVE → PCM samples → features) — kernel.WavParse
+  // ------------------------------------------------------------------
+
+  /** Frames per synthetic audio payload. */
+  val AudioFrames = 1024
+  /** Nominal fixture sample rate. */
+  val AudioRate = 8000
+
+  /** Deterministic integer waveform for doc `id` (sawtooth + square mix,
+    * amplitude well inside Short) — the fixture side of the audio path.
+    */
+  private[graft] def audioSampleAt(id: Long, i: Int): Int = {
+    val saw = ((i * ((id % 17) + 3)) % 200 - 100).toInt * 80
+    val sq = if ((i / ((id % 7) + 10)) % 2 == 0) 3000 else -3000
+    saw + sq
+  }
+
+  /** Audio decode: per doc, synthesize a REAL WAV payload (mono or
+    * stereo, some with LIST chunks — the container-variant sweep), then
+    * run the full parse chain on the opaque bytes (kernel.WavParse) and
+    * explode the DECODED samples. The materialized (doc_id, idx,
+    * sample) frame is the oracle input: DuckDB recomputes the windowed
+    * features below from the same samples with SQL window functions.
+    *
+    * Scale shape: narrow typed flatMap; the payload lives and dies in
+    * its task. The exploded sample frame is the analysis-ready shape a
+    * real audio pipeline lands on (and what downstream featurizers
+    * aggregate with ordinary relational ops).
+    */
+  def audioSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val wav = graft.sources.ImageGen.wavReal(
+          AudioFrames, AudioRate, channels = 1 + (id % 2).toInt,
+          withListChunk = id % 3 == 0, oddList = id % 6 == 0)(
+          i => audioSampleAt(id, i), i => audioSampleAt(id, i + 7))
+        graft.kernel.WavParse.parse(wav) match {
+          case Some(w) => w.samples.iterator.zipWithIndex.map {
+            case (v, i) => (id, i, v.toInt, w.sampleRate)
+          }
+          case None => Iterator.empty // malformed-by-construction: none
+        }
+      }
+      .toDF("doc_id", "idx", "sample", "sample_rate")
+  }
+
+  /** Per-doc audio features over the decoded samples: total energy
+    * (Σ sample², integer-exact) and zero-crossing count — the classic
+    * cheap audio-triage pair (speech/music/silence discrimination).
+    */
+  def audioFeatures(samples: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    samples
+      .withColumn("flip",
+        when((col("sample") < 0) =!= (lag(col("sample"), 1).over(w) < 0), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("sample_rate"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("sample").cast("long") * col("sample")).as("sum_energy"),
+        sum(col("flip")).as("n_zero_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // OCR (image → text) — kernel.GlyphOcr
   // ------------------------------------------------------------------
 

@@ -787,6 +787,52 @@ object ImageGen {
     out.toByteArray
   }
 
+  /** Real PCM16 WAV fixture (RIFF little-endian): mono or stereo,
+    * caller-supplied integer sample function (per frame; stereo writes
+    * the same value to both channels unless `right` differs). An
+    * optional LIST chunk before `data` exercises the parser's
+    * unknown-chunk skip (with the odd-size pad byte when `oddList`).
+    */
+  def wavReal(nFrames: Int, sampleRate: Int, channels: Int = 1,
+      withListChunk: Boolean = false, oddList: Boolean = false)(
+      sample: Int => Int, right: Int => Int = null): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    val listLen = if (!withListChunk) 0 else if (oddList) 5 else 4
+    val listBytes = if (!withListChunk) 0 else 8 + listLen + (listLen & 1)
+    val dataLen = nFrames * 2 * channels
+    val b = new Array[Byte](12 + 24 + listBytes + 8 + dataLen)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLe32(b, 4, b.length - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    var p = 12
+    b(p) = 'f'; b(p + 1) = 'm'; b(p + 2) = 't'; b(p + 3) = ' '
+    putLe32(b, p + 4, 16)
+    putLe16(b, p + 8, 1) // PCM
+    putLe16(b, p + 10, channels)
+    putLe32(b, p + 12, sampleRate)
+    putLe32(b, p + 16, sampleRate * 2 * channels) // byte rate
+    putLe16(b, p + 20, 2 * channels)              // block align
+    putLe16(b, p + 22, 16)                        // bits/sample
+    p += 24
+    if (withListChunk) {
+      b(p) = 'L'; b(p + 1) = 'I'; b(p + 2) = 'S'; b(p + 3) = 'T'
+      putLe32(b, p + 4, listLen)
+      p += 8 + listLen + (listLen & 1)
+    }
+    b(p) = 'd'; b(p + 1) = 'a'; b(p + 2) = 't'; b(p + 3) = 'a'
+    putLe32(b, p + 4, dataLen)
+    p += 8
+    var i = 0
+    while (i < nFrames) {
+      putLe16(b, p + i * 2 * channels, sample(i) & 0xffff)
+      if (channels == 2)
+        putLe16(b, p + i * 2 * channels + 2,
+          (if (right == null) sample(i) else right(i)) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {

@@ -79,14 +79,31 @@ object Fuzz {
           .foreach(graft.kernel.GlyphOcr.recognize)
         pixelChecked += 1
       }
+      // 5. WAV parser totality under the same corruption scheme
+      if (i % 8 == 0) {
+        val mut = java.util.Arrays.copyOf(wavBase, 1 + rnd.nextInt(wavBase.length))
+        var m = 0
+        val nMut = 1 + rnd.nextInt(12)
+        while (m < nMut) {
+          mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+          m += 1
+        }
+        graft.kernel.WavParse.parse(mut)
+        wavChecked += 1
+      }
       i += 1
     }
     println(s"[fuzz] OK: $n cases, $tokenizerChecked tokenizer-parity checks, " +
       s"$spanChecked spans validated, $pixelChecked pixel corruptions decoded-or-rejected, " +
-      "0 divergences")
+      s"$wavChecked wav corruptions parsed-or-rejected, 0 divergences")
   }
 
   private var pixelChecked = 0L
+  private var wavChecked = 0L
+
+  private lazy val wavBase: Array[Byte] =
+    graft.sources.ImageGen.wavReal(256, 8000, channels = 2,
+      withListChunk = true)(i => ((i * 13) % 200 - 100) * 50)
 
   /** One valid real-pixel payload per raster format (corruption seeds). */
   private lazy val pixelBases: Array[Array[Byte]] = {
