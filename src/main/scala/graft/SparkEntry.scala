@@ -434,6 +434,27 @@ object SparkEntry {
             min(col("n_name")).as("first_nation"))
           .orderBy(col("r_name"))
       }),
+      // WARC: the container Common-Crawl corpora arrive in. Pages stage
+      // as gzip-member .warc.gz files (distributed write, one file per
+      // partition), then read back through the full from-scratch WARC
+      // parse; the oracle side is the SAME pages frame materialized
+      // WITHOUT the WARC layer — equality proves the container
+      // round-trip over every payload kind (HTML, PDF, binary, empty,
+      // the 10 MB oversize doc)
+      "q_warc_source" -> ((s, dir) => {
+        val staged = s"${oracleBase(dir)}/staged_warc"
+        stageOnce(staged) {
+          graft.sources.Warc.stagePages(PageSynth.pages(s, dir), staged, parts = 8)
+        }
+        materialize(s, s"${oracleBase(dir)}/warc_expected")(
+          PageSynth.pages(s, dir).toDF()
+            .select(col("url"), length(col("html")).as("n_bytes"),
+              xxhash64(col("html")).as("payload_hash")))
+        graft.sources.Warc.pages(s, staged).toDF()
+          .select(col("url"), length(col("html")).as("n_bytes"),
+            xxhash64(col("html")).as("payload_hash"))
+          .orderBy(col("url"))
+      }),
       "q_json_source" -> ((s, dir) => {
         val path = s"${oracleBase(dir)}/staged_supplier_json"
         stageOnce(path) {
@@ -836,7 +857,12 @@ object SparkEntry {
            | round(sum(s_acctbal), 2) AS total_acctbal
            |FROM read_json('$b/staged_supplier_json/*.json',
            |  columns={'s_suppkey':'BIGINT','s_name':'VARCHAR','s_nationkey':'BIGINT','s_acctbal':'DOUBLE'})
-           |GROUP BY 1 ORDER BY nation_mod""".stripMargin
+           |GROUP BY 1 ORDER BY nation_mod""".stripMargin,
+      // WARC round-trip: the no-WARC pages frame is the expectation —
+      // the query's records traveled through write+gzip+read+parse
+      "q_warc_source" ->
+        s"""SELECT url, n_bytes, payload_hash
+           |FROM ${rp("warc_expected")} ORDER BY url""".stripMargin
     ) ++ extractionOracles
   }
 }

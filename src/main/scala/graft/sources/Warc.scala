@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Page
+
+/** WARC/1.0 source — the container Common-Crawl-style corpora actually
+  * arrive in (the north rule's input shape). From-scratch writer and
+  * reader for response records, in both plain and per-record
+  * gzip-member framing (the standard `.warc.gz` layout: each record its
+  * own gzip member, members concatenated; `GZIPInputStream` reads the
+  * member chain natively).
+  *
+  * Scale shape: WARC gzip members are NOT splittable mid-file, so the
+  * unit of parallelism is the file — exactly how production crawls are
+  * processed (many ~1 GB files, one task each). `pages()` reads via the
+  * binaryFile source and parses per file inside the task; payload bytes
+  * never leave the task until the downstream operator (e.g. the extract
+  * kernel) consumes them.
+  *
+  * Parsing is total and bounded: a record whose Content-Length is
+  * negative, non-numeric, over the per-record cap, or past the buffer
+  * ends the file's record stream at that point (records before it are
+  * kept) — a torn tail file yields its intact prefix, never a throw.
+  */
+object Warc {
+
+  /** Per-record payload bound: the engine's content cap plus header
+    * slack — a forged Content-Length cannot force a huge allocation.
+    */
+  val MaxRecordPayload: Int = graft.kernel.MergeSpec.MaxContentLength + 65536
+
+  /** Fixed WARC-Date for deterministic fixtures (the field is required
+    * by the spec but carries no engine semantics here).
+    */
+  val FixtureDate = "2024-01-01T00:00:00Z"
+
+  final case class WarcRecord(url: String, warcType: String, payload: Array[Byte])
+
+  private val Crlf = "\r\n".getBytes("US-ASCII")
+
+  /** Serialize records; `gzipMembers` wraps EACH record in its own gzip
+    * member (the `.warc.gz` convention that keeps files seekable per
+    * record index).
+    */
+  def write(records: Iterator[WarcRecord], out: java.io.OutputStream,
+      gzipMembers: Boolean): Unit = {
+    records.foreach { r =>
+      val sink =
+        if (gzipMembers) new java.util.zip.GZIPOutputStream(out, 8192, true)
+        else out
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append("WARC-Type: ").append(r.warcType).append("\r\n")
+        .append("WARC-Target-URI: ").append(r.url).append("\r\n")
+        .append("WARC-Date: ").append(FixtureDate).append("\r\n")
+        .append("Content-Length: ").append(r.payload.length).append("\r\n")
+        .append("\r\n")
+      sink.write(hdr.toString.getBytes("US-ASCII"))
+      sink.write(r.payload)
+      sink.write(Crlf); sink.write(Crlf) // record separator
+      sink match {
+        case g: java.util.zip.GZIPOutputStream => g.finish()
+        case _ => ()
+      }
+    }
+    out.flush()
+  }
+
+  /** Parse a WARC file's bytes (plain or gzip-member framed). */
+  def parse(bytes: Array[Byte]): Vector[WarcRecord] = {
+    if (bytes == null || bytes.length < 4) return Vector.empty
+    val b =
+      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) gunzipAll(bytes)
+      else bytes
+    if (b == null) return Vector.empty
+    val out = Vector.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < b.length) {
+      // skip inter-record blank lines
+      while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      if (pos >= b.length) ok = false
+      else {
+        val hdrEnd = indexOfDoubleCrlf(b, pos)
+        if (hdrEnd < 0) ok = false
+        else {
+          val header = new String(b, pos, hdrEnd - pos, "US-ASCII")
+          val lines = header.split("\r\n")
+          if (lines.isEmpty || !lines(0).startsWith("WARC/")) ok = false
+          else {
+            var url = ""
+            var wtype = ""
+            var clen = -1L
+            lines.iterator.drop(1).foreach { l =>
+              val i = l.indexOf(':')
+              if (i > 0) {
+                val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+                val v = l.substring(i + 1).trim
+                k match {
+                  case "warc-target-uri" => url = v
+                  case "warc-type"       => wtype = v
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
+              }
+            }
+            val start = hdrEnd + 4
+            if (clen < 0 || clen > MaxRecordPayload || start + clen > b.length) ok = false
+            else {
+              out += WarcRecord(url, wtype,
+                java.util.Arrays.copyOfRange(b, start, start + clen.toInt))
+              pos = start + clen.toInt
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Inflate a whole multi-member gzip stream; null on corruption. */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b), 65536)
+      val out = new java.io.ByteArrayOutputStream(b.length * 3)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > (1 << 30)) return null // stream bomb bound
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  /** Write a pages frame as `parts` gzip-member WARC files under `dir`
+    * (distributed: one file per output partition, payloads never
+    * collect to the driver).
+    */
+  def stagePages(pages: Dataset[Page], dir: String, parts: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    pages.repartition(parts, col("url")).foreachPartition {
+      (it: Iterator[Page]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(dir, f"part-$pid%05d.warc.gz")
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try write(it.map(p => WarcRecord(p.url, "response",
+          if (p.html == null) Array.emptyByteArray else p.html)), out,
+          gzipMembers = true)
+        finally out.close()
+    }
+  }
+
+  /** Read a directory of WARC files as pages: one task per file (the
+    * non-splittable-member reality), records parsed in-task.
+    */
+  def pages(s: SparkSession, dir: String): Dataset[Page] = {
+    import s.implicits._
+    s.read.format("binaryFile").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(b => parse(b).iterator
+        .filter(_.warcType == "response")
+        .map(r => Page(r.url, null, r.payload, "", "")))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Warc
+import graft.sources.Warc.WarcRecord
+
+/** WARC container layer: record round-trips in both framings, payloads
+  * that embed header-like byte sequences, torn/forged/corrupt inputs
+  * staying total, and the staged directory reading back through the
+  * Spark source.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private def rt(records: Seq[WarcRecord], gz: Boolean): Vector[WarcRecord] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.write(records.iterator, out, gz)
+    Warc.parse(out.toByteArray)
+  }
+
+  private val samples = Seq(
+    WarcRecord("https://h/a", "response", "plain text".getBytes("UTF-8")),
+    // payload embedding CRLFCRLF and a fake WARC header: Content-Length
+    // framing must not resynchronize inside payloads
+    WarcRecord("https://h/b", "response",
+      "x\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\ny".getBytes("US-ASCII")),
+    WarcRecord("https://h/c", "response", Array.emptyByteArray), // empty payload
+    WarcRecord("https://h/d", "response", Array.tabulate(4096)(i => (i * 31).toByte)),
+    WarcRecord("https://h/e", "metadata", "not a response".getBytes("UTF-8")))
+
+  test("round-trip: plain and gzip-member framing preserve every byte") {
+    for (gz <- Seq(false, true)) {
+      val got = rt(samples, gz)
+      assert(got.length == samples.length, s"gz=$gz")
+      got.zip(samples).foreach { case (g, w) =>
+        assert(g.url == w.url && g.warcType == w.warcType, s"gz=$gz ${w.url}")
+        assert(g.payload.sameElements(w.payload), s"gz=$gz ${w.url}")
+      }
+    }
+  }
+
+  test("torn tail keeps the intact prefix; forged lengths stop cleanly") {
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.write(samples.iterator, out, gzipMembers = false)
+    val full = out.toByteArray
+    // cut mid-way through the LAST record's payload
+    val torn = Warc.parse(java.util.Arrays.copyOf(full, full.length - 8))
+    assert(torn.length == samples.length - 1)
+    // forged Content-Length over the cap: record (and the rest) rejected
+    val s2 = Seq(WarcRecord("https://h/x", "response",
+      ("Content-Length: " + (Warc.MaxRecordPayload + 1)).getBytes("US-ASCII")))
+    val o2 = new java.io.ByteArrayOutputStream()
+    Warc.write(s2.iterator, o2, gzipMembers = false)
+    val forged = new String(o2.toByteArray, "US-ASCII")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: 99999999999")
+    assert(Warc.parse(forged.getBytes("US-ASCII")).isEmpty)
+    // corrupt gzip stream: total, empty
+    val gzOut = new java.io.ByteArrayOutputStream()
+    Warc.write(samples.iterator, gzOut, gzipMembers = true)
+    val corrupt = gzOut.toByteArray
+    for (i <- 20 until math.min(200, corrupt.length)) corrupt(i) = 0x55
+    Warc.parse(corrupt) // no throw; result content irrelevant
+    assert(Warc.parse(null).isEmpty)
+    assert(Warc.parse("WARC/1.0 but no headers".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("staged directory reads back through the Spark source, one task per file") {
+    import TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
+    try {
+      val pages = (0 until 97).map(i =>
+        graft.model.Page(f"https://w/p$i%03d", null,
+          s"payload number $i with some body text".getBytes("UTF-8"), "", ""))
+      Warc.stagePages(spark.createDataset(pages), dir, parts = 4)
+      val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".warc.gz"))
+      assert(files.nonEmpty && files.length <= 4)
+      val got = Warc.pages(spark, dir).collect().sortBy(_.url)
+      assert(got.length == 97)
+      got.zip(pages.sortBy(_.url)).foreach { case (g, w) =>
+        assert(g.url == w.url && g.html.sameElements(w.html), w.url)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("q_warc_source: full-corpus container round-trip matches the no-WARC frame") {
+    import TestSpark.{sf0001, spark}
+    import spark.implicits._
+    val got = SparkEntry.queries("q_warc_source")(spark, sf0001)
+      .as[(String, Int, Long)].collect()
+    assert(got.length == 500)
+    val want = graft.sources.PageSynth.pages(spark, sf0001)
+      .map(p => (p.url, p.html.length, graft.operators.XxHash.hashBytes(p.html, 42L)))
+      .collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq == want.map(r => (r._1, r._2)).toSeq)
+  }
+}
