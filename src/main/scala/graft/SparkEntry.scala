@@ -251,6 +251,10 @@ object SparkEntry {
             sum(col("n_chars").cast("long")).as("total_chars"))
           .orderBy(col("profile"))
       }),
+      // video: real MP4 containers through the full box-walk parse; the
+      // oracle re-derives EVERY column (timing, track counts, exact
+      // serialized byte size) from doc_id with SQL arithmetic
+      "mm_video_meta" -> ((s, dir) => Multimodal.videoMeta(s, dir)),
       // audio: real WAV payloads through the full parse chain; the
       // decoded sample frame materializes and DuckDB recomputes the
       // energy/zero-crossing features with its own window functions
@@ -571,6 +575,20 @@ object SparkEntry {
            | CAST(i * n_bytes // ${Multimodal.FramesPerDoc} AS BIGINT) AS byte_off
            |FROM ${rp("media_meta")}, (SELECT unnest([0, 1, 2, 3]) AS i) g
            |WHERE n_bytes >= 16 ORDER BY url, frame_no""".stripMargin,
+      // every column re-derived from doc_id: the parse must invert the
+      // serialization exactly, including the container's byte size
+      "mm_video_meta" ->
+        """SELECT doc_id,
+          | 1000 + (doc_id % 9) * 100 AS timescale,
+          | 1000 + doc_id % 50000 AS duration,
+          | (1000 + doc_id % 50000) * 1000 // (1000 + (doc_id % 9) * 100) AS duration_ms,
+          | CAST(1 AS INT) AS n_video_tracks,
+          | CAST(doc_id % 3 AS INT) AS n_audio_tracks,
+          | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_other_tracks,
+          | CAST(52 + (CASE WHEN doc_id % 5 = 0 THEN 44 ELSE 32 END) +
+          |   44 * (1 + doc_id % 3 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+          |   AS INT) AS n_payload_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // a second engine recomputes the audio features from the decoded
       // samples with its own window functions
       "mm_audio" ->

@@ -268,6 +268,42 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Video (ISO BMFF / MP4 → container metadata) — kernel.Mp4Parse
+  // ------------------------------------------------------------------
+
+  /** Video-container triage: per doc, synthesize a REAL MP4 whose
+    * timing/track parameters are pure functions of doc_id (mvhd v0 and
+    * v1 both exercised), then run the full box-walk parse on the opaque
+    * bytes and emit the metadata — duration in exact integer ms. The
+    * oracle re-derives every output column from doc_id with SQL
+    * arithmetic, so the whole generate→serialize→parse chain must be
+    * value-exact. Narrow typed map; payload never leaves the task.
+    */
+  def videoMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.table(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val timescale = 1000L + (id % 9) * 100L
+        val duration = 1000L + id % 50000L
+        val nAudio = (id % 3).toInt
+        val handlers = Seq("vide") ++ Seq.fill(nAudio)("soun") ++
+          (if (id % 4 == 0) Seq("text") else Seq.empty)
+        val payload = graft.sources.ImageGen.mp4(
+          timescale, duration, handlers, mvhdV1 = id % 5 == 0)
+        graft.kernel.Mp4Parse.parse(payload) match {
+          case Some(m) =>
+            (id, m.timescale, m.duration, m.durationMs,
+              m.nVideoTracks, m.nAudioTracks, m.nOtherTracks, payload.length)
+          case None => (id, -1L, -1L, -1L, -1, -1, -1, payload.length)
+        }
+      }
+      .toDF("doc_id", "timescale", "duration", "duration_ms",
+        "n_video_tracks", "n_audio_tracks", "n_other_tracks", "n_payload_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
   // OCR (image → text) — kernel.GlyphOcr
   // ------------------------------------------------------------------
 

@@ -833,6 +833,46 @@ object ImageGen {
     b
   }
 
+  /** Minimal-but-valid ISO BMFF (MP4) metadata fixture: ftyp + moov
+    * containing mvhd (v0 or v1) and one trak/mdia/hdlr per track, plus
+    * a free box and a tiny mdat so the walk skips non-metadata boxes.
+    * `handlers` supplies each track's fourcc ("vide"/"soun"/...).
+    */
+  def mp4(timescale: Long, duration: Long, handlers: Seq[String],
+      mvhdV1: Boolean = false): Array[Byte] = {
+    def box(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + body.length)
+      putBe32(b, 0, 8 + body.length)
+      System.arraycopy(fourcc.getBytes("US-ASCII"), 0, b, 4, 4)
+      System.arraycopy(body, 0, b, 8, body.length)
+      b
+    }
+    val mvhd =
+      if (!mvhdV1) {
+        val b = new Array[Byte](4 + 20) // version/flags + ctime mtime ts dur
+        putBe32(b, 12, timescale.toInt)
+        putBe32(b, 16, duration.toInt)
+        box("mvhd", b)
+      } else {
+        val b = new Array[Byte](4 + 32) // v1: 64-bit ctime mtime, ts, 64-bit dur
+        b(0) = 1
+        putBe32(b, 20, timescale.toInt)
+        putBe32(b, 24, (duration >>> 32).toInt)
+        putBe32(b, 28, duration.toInt)
+        box("mvhd", b)
+      }
+    val traks = handlers.map { h =>
+      val hb = new Array[Byte](12 + 8) // version/flags + pre_defined + type + reserved/name
+      System.arraycopy(h.getBytes("US-ASCII"), 0, hb, 8, 4)
+      box("trak", box("mdia", box("hdlr", hb)))
+    }
+    val moov = box("moov", (Seq(mvhd) ++ traks).reduce(_ ++ _))
+    val ftypBody = "isom".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+      "isom".getBytes("US-ASCII")
+    box("ftyp", ftypBody) ++ box("free", new Array[Byte](4)) ++ moov ++
+      box("mdat", Array[Byte](1, 2, 3, 4))
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {

@@ -79,9 +79,10 @@ object Fuzz {
           .foreach(graft.kernel.GlyphOcr.recognize)
         pixelChecked += 1
       }
-      // 5. WAV parser totality under the same corruption scheme
+      // 5. WAV + MP4 parser totality under the same corruption scheme
       if (i % 8 == 0) {
-        val mut = java.util.Arrays.copyOf(wavBase, 1 + rnd.nextInt(wavBase.length))
+        val base = if (i % 16 == 0) wavBase else mp4Base
+        val mut = java.util.Arrays.copyOf(base, 1 + rnd.nextInt(base.length))
         var m = 0
         val nMut = 1 + rnd.nextInt(12)
         while (m < nMut) {
@@ -89,13 +90,14 @@ object Fuzz {
           m += 1
         }
         graft.kernel.WavParse.parse(mut)
+        graft.kernel.Mp4Parse.parse(mut)
         wavChecked += 1
       }
       i += 1
     }
     println(s"[fuzz] OK: $n cases, $tokenizerChecked tokenizer-parity checks, " +
       s"$spanChecked spans validated, $pixelChecked pixel corruptions decoded-or-rejected, " +
-      s"$wavChecked wav corruptions parsed-or-rejected, 0 divergences")
+      s"$wavChecked wav+mp4 corruptions parsed-or-rejected, 0 divergences")
   }
 
   private var pixelChecked = 0L
@@ -104,6 +106,9 @@ object Fuzz {
   private lazy val wavBase: Array[Byte] =
     graft.sources.ImageGen.wavReal(256, 8000, channels = 2,
       withListChunk = true)(i => ((i * 13) % 200 - 100) * 50)
+
+  private lazy val mp4Base: Array[Byte] =
+    graft.sources.ImageGen.mp4(1600, 48000, Seq("vide", "soun"), mvhdV1 = true)
 
   /** One valid real-pixel payload per raster format (corruption seeds). */
   private lazy val pixelBases: Array[Array[Byte]] = {
