@@ -294,10 +294,15 @@ object JpegDecode {
               scanAc(c) = tt & 15
               c += 1
             }
-            val ss = u8(b, segEnd - 3)
-            val se = u8(b, segEnd - 2)
-            val ah = u8(b, segEnd - 1) >> 4
-            val al = u8(b, segEnd - 1) & 15
+            // Ss/Se/Ah/Al sit at FIXED offsets after the component specs
+            // (B.2.3) — reading from segEnd would misparse an SOS whose
+            // declared length carries trailing padding, and a wrong band/
+            // bit-plane means wrong pixels, not a refusal
+            val trio = seg + 1 + ns * 2
+            val ss = u8(b, trio)
+            val se = u8(b, trio + 1)
+            val ah = u8(b, trio + 2) >> 4
+            val al = u8(b, trio + 2) & 15
             val nxt = progressiveScan(b, segEnd, st, scanComps, scanDc, scanAc,
               ss, se, ah, al, dcTabs, acTabs, restartInterval)
             if (nxt < 0) return None

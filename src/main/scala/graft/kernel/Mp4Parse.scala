@@ -56,6 +56,10 @@ object Mp4Parse {
     val st = new State
     if (!walk(b, 0, b.length, 0, "", st)) return None
     if (st.timescale <= 0 || st.duration < 0) return None
+    // forged 64-bit v1 durations: duration * 1000 must not overflow in
+    // durationMs — anything past 2^53 units (>285k years at any sane
+    // timescale) is a crafted header, refused like every other forgery
+    if (st.duration > (1L << 53)) return None
     Some(Mp4Meta(st.timescale, st.duration, st.vide, st.soun, st.other))
   }
 

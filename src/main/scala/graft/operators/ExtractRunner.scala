@@ -28,6 +28,10 @@ import graft.sources.PageSynth
   * Usage:
   *   spark-submit --class graft.operators.ExtractRunner <jar> \
   *     <pagesDir> <outRoot> [buckets] [engine]
+  *
+  * <pagesDir> is a parquet pages table OR a directory of .warc(.gz)
+  * files (crawl arrival format, sources.Warc) — detected automatically;
+  * lineage/resume semantics are identical either way.
   */
 object ExtractRunner {
 
@@ -97,8 +101,16 @@ object ExtractRunner {
     require(graft.kernel.MergeSpec.ValidEngines(profile.engine),
       graft.kernel.MergeSpec.invalidOcrType(profile.engine))
     val t0 = System.currentTimeMillis()
-    val snapshotId = ExtractJob.snapshotIdOf(spark, pagesDir)
-    val pages = spark.read.parquet(pagesDir).as[Page]
+    // input format: parquet table OR a directory of .warc(.gz) files —
+    // crawls run in arrival format with identical lineage/resume
+    // semantics (the snapshot id hashes the file listing either way)
+    val warcInput = graft.sources.Warc.isWarcDir(spark, pagesDir)
+    val snapshotId =
+      if (warcInput) graft.sources.Warc.snapshotIdOf(spark, pagesDir)
+      else ExtractJob.snapshotIdOf(spark, pagesDir)
+    val pages =
+      if (warcInput) graft.sources.Warc.pages(spark, pagesDir)
+      else spark.read.parquet(pagesDir).as[Page]
 
     val lineagePath = s"$outRoot/lineage"
     val priorLineage: Option[DataFrame] =

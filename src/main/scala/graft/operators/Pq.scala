@@ -114,11 +114,10 @@ object Pq {
     * training is deterministic, and every IVF-PQ retrieval call would
     * otherwise re-pay the sample collect + per-subspace Lloyd runs.
     */
-  def trainCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val fp = Similarity.embeddingsFingerprint(s, dir)
-    if (bookCache.size > 16) bookCache.clear()
-    bookCache.getOrElseUpdate(s"$dir#$fp", trainCodebooksUncached(s, dir))
-  }
+  def trainCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    Similarity.boundedMemo(bookCache,
+      s"$dir#${Similarity.embeddingsFingerprint(s, dir)}")(
+      trainCodebooksUncached(s, dir))
 
   private val bookCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]

@@ -178,11 +178,21 @@ object Similarity {
     // rewritten in place with identical part-file names (same layout,
     // new content) still retrains instead of silently reusing a stale
     // codebook.
-    val fp = embeddingsFingerprint(s, dir)
-    // bound the memo: repeated in-place regenerations of the same dir
-    // would otherwise accumulate codebooks for the JVM lifetime
-    if (centroidCache.size > 16) centroidCache.clear()
-    centroidCache.getOrElseUpdate(s"$dir#$fp", trainIvfCentroids(s, dir))
+    boundedMemo(centroidCache, s"$dir#${embeddingsFingerprint(s, dir)}")(
+      trainIvfCentroids(s, dir))
+  }
+
+  /** Bounded trained-artifact memo, shared by the IVF-centroid and PQ
+    * codebook caches so the eviction policy lives in ONE place: repeated
+    * in-place regenerations of the same dir would otherwise accumulate
+    * artifacts for the JVM lifetime, and a policy fix applied to one
+    * cache but not the other would silently desynchronize retraining.
+    */
+  private[operators] def boundedMemo[A](
+      cache: scala.collection.concurrent.TrieMap[String, A], key: String)(
+      train: => A): A = {
+    if (cache.size > 16) cache.clear()
+    cache.getOrElseUpdate(key, train)
   }
 
   /** Cache key for per-corpus trained artifacts (IVF and PQ codebooks). */

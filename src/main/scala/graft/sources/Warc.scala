@@ -44,11 +44,23 @@ object Warc {
     * member (the `.warc.gz` convention that keeps files seekable per
     * record index).
     */
+  /** Shields the shared output from per-member close(): closing a
+    * GZIPOutputStream is the only way to release its native Deflater,
+    * but it must not close the underlying file between members.
+    */
+  private final class NonClosing(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = out.flush()
+  }
+
   def write(records: Iterator[WarcRecord], out: java.io.OutputStream,
       gzipMembers: Boolean): Unit = {
     records.foreach { r =>
       val sink =
-        if (gzipMembers) new java.util.zip.GZIPOutputStream(out, 8192, true)
+        if (gzipMembers)
+          new java.util.zip.GZIPOutputStream(new NonClosing(out), 8192, true)
         else out
       val hdr = new StringBuilder()
         .append("WARC/1.0\r\n")
@@ -61,7 +73,9 @@ object Warc {
       sink.write(r.payload)
       sink.write(Crlf); sink.write(Crlf) // record separator
       sink match {
-        case g: java.util.zip.GZIPOutputStream => g.finish()
+        // close() ends the member AND releases the native Deflater —
+        // finish() alone leaks ~256 KB of zlib state per record until GC
+        case g: java.util.zip.GZIPOutputStream => g.close()
         case _ => ()
       }
     }
@@ -153,16 +167,56 @@ object Warc {
     * collect to the driver).
     */
   def stagePages(pages: Dataset[Page], dir: String, parts: Int): Unit = {
-    new java.io.File(dir).mkdirs()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(
+      pages.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
     pages.repartition(parts, col("url")).foreachPartition {
       (it: Iterator[Page]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(dir, f"part-$pid%05d.warc.gz")
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        // write through the Hadoop filesystem (NOT executor-local java.io):
+        // on a real cluster the staged files must land where every reader
+        // task can list them; overwrite=true keeps re-staging idempotent.
+        // (Executor-side Configuration resolves the default FS from the
+        // classpath's core-site, the standard task-side pattern.)
+        val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+        val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(f, true))
         try write(it.map(p => WarcRecord(p.url, "response",
           if (p.html == null) Array.emptyByteArray else p.html)), out,
           gzipMembers = true)
         finally out.close()
+    }
+  }
+
+  /** True when `dir` holds WARC files (the crawl arrival layout) rather
+    * than parquet — lets the runner accept either input format.
+    */
+  def isWarcDir(s: SparkSession, dir: String): Boolean = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.endsWith(".warc.gz") || n.endsWith(".warc")
+      }
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Snapshot id over the WARC file listing — same stable-hash contract
+    * as ExtractJob.snapshotIdOf for parquet inputs, so lineage/resume
+    * semantics are input-format-independent. Length and mtime fold in
+    * alongside the path: stagePages reuses fixed part-NNNNN names, so a
+    * dir re-staged IN PLACE with new content must produce a NEW
+    * snapshot id — otherwise resume would silently skip the fresh data
+    * (the same in-place-rewrite hazard Similarity.embeddingsFingerprint
+    * guards its codebook memo against).
+    */
+  def snapshotIdOf(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).sortBy(_.getPath.toString).foldLeft(17L) { (acc, st) =>
+      ((acc * 31L + st.getPath.toString.hashCode.toLong) * 31L + st.getLen) * 31L +
+        st.getModificationTime
     }
   }
 

@@ -25,6 +25,9 @@ class Mp4Spec extends AnyFunSuite {
     // v1 carries true 64-bit durations
     val big = ImageGen.mp4(90000, 0x123456789AL, Seq("vide"), mvhdV1 = true)
     assert(Mp4Parse.parse(big).get.duration == 0x123456789AL)
+    // a forged duration past 2^53 would overflow durationMs — refused
+    val forged = ImageGen.mp4(90000, 1L << 60, Seq("vide"), mvhdV1 = true)
+    assert(Mp4Parse.parse(forged).isEmpty)
   }
 
   test("largesize and size-0 (to end) box encodings parse") {

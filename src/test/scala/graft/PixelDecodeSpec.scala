@@ -248,6 +248,20 @@ class PixelDecodeSpec extends AnyFunSuite {
     // truncated progressive stream: total, None or consistent — no throw
     val p = ImageGen.jpegProgressive(41, 27)(lum)
     assert(PixelDecode.decodeLuma(p.dropRight(p.length / 3)).forall(_ => true))
+    // SOS header with trailing padding (len inflated by 2): Ss/Se/Ah/Al
+    // sit at FIXED offsets, so the decode must be unchanged — reading
+    // them relative to the segment END would decode the wrong band.
+    // (entropy FF bytes are stuffed, so every FF DA below is a real SOS)
+    val want = PixelDecode.decodeLuma(p).get
+    val at = (0 until p.length - 1).filter(i =>
+      (p(i) & 0xff) == 0xFF && (p(i + 1) & 0xff) == 0xDA)(1) // 2nd scan (AC)
+    val len = ((p(at + 2) & 0xff) << 8) | (p(at + 3) & 0xff)
+    val padded = p.take(at + 2) ++
+      Array((((len + 2) >> 8) & 0xff).toByte, ((len + 2) & 0xff).toByte) ++
+      p.slice(at + 4, at + 2 + len) ++ Array(0.toByte, 0.toByte) ++
+      p.drop(at + 2 + len)
+    val got = PixelDecode.decodeLuma(padded)
+    assert(got.exists(_.luma.sameElements(want.luma)), "padded SOS changed the decode")
   }
 
   test("thumbOf: PNG/BMP/GIF/TIFF/JPEG thumbnails are the exact box-mean of the real pixels") {

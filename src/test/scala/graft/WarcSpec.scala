@@ -89,6 +89,52 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("ExtractRunner accepts a WARC input dir: output identical to the parquet path") {
+    import TestSpark.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("warcrun").toString
+    try {
+      val pages = (0 until 60).map { i =>
+        val html = s"<html><body><p>Body text for page $i, long enough to keep.</p></body></html>"
+        graft.model.Page(f"https://w/r$i%03d", null, html.getBytes("UTF-8"), "", "en")
+      }
+      val ds = spark.createDataset(pages)
+      ds.write.mode("overwrite").parquet(s"$base/pages_parquet")
+      Warc.stagePages(ds, s"$base/pages_warc", parts = 3)
+      val r1 = graft.operators.ExtractRunner.run(spark, s"$base/pages_parquet",
+        s"$base/out_parquet", buckets = 8)
+      val r2 = graft.operators.ExtractRunner.run(spark, s"$base/pages_warc",
+        s"$base/out_warc", buckets = 8)
+      assert(r1.docsProcessed == 60 && r2.docsProcessed == 60)
+      def rows(out: String) =
+        spark.read.parquet(s"$out/extracted")
+          .select("url", "status", "text", "error").as[(String, String, String, String)]
+          .collect().sortBy(_._1).toSeq
+      assert(rows(s"$base/out_parquet") == rows(s"$base/out_warc"))
+      // resume over the SAME warc input is a no-op (lineage sees the
+      // identical snapshot id for the file listing)
+      val r3 = graft.operators.ExtractRunner.run(spark, s"$base/pages_warc",
+        s"$base/out_warc", buckets = 8)
+      assert(r3.docsProcessed == 0, "resume over unchanged WARC input must be a no-op")
+      // RE-STAGING the same dir with new content reuses the fixed
+      // part-NNNNN names — the snapshot id must still change (it folds
+      // length+mtime, not just paths), so the fresh data is processed
+      val pages2 = pages.map(p => p.copy(
+        html = (new String(p.html, "UTF-8") + "<p>updated body</p>").getBytes("UTF-8")))
+      Warc.stagePages(spark.createDataset(pages2), s"$base/pages_warc", parts = 3)
+      val r4 = graft.operators.ExtractRunner.run(spark, s"$base/pages_warc",
+        s"$base/out_warc", buckets = 8)
+      assert(r4.snapshotId != r3.snapshotId, "re-staged WARC dir must get a new snapshot id")
+      assert(r4.docsProcessed == 60, "re-staged content must be re-extracted")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("q_warc_source: full-corpus container round-trip matches the no-WARC frame") {
     import TestSpark.{sf0001, spark}
     import spark.implicits._
