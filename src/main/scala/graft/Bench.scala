@@ -313,6 +313,20 @@ object Bench {
         val tH = (1 to reps).map(_ => timed(runAgg(hot))._2).min
         (tH, tU)
       }
+    // ---- WARC-source throughput: parse rate of the crawl ARRIVAL format
+    // (gzip-member records → pages), the stage that precedes extract when
+    // the corpus is consumed without a parquet ingest. Staging is
+    // one-time (untimed); the timed reps are read+gunzip+record-parse.
+    val (warcDocs, warcSec) =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARC_BENCH", "1") == "0") (0L, -1.0)
+      else {
+        val wdir = s"$base/warc_pages"
+        graft.sources.Warc.stagePages(PageSynth.pages(sHi, sfDir), wdir, parts = 32)
+        def readAll(): Long = graft.sources.Warc.pages(sHi, wdir).count()
+        val n = readAll() // warm
+        val t = (1 to 2).map(_ => timed(readAll())._2).min
+        (n, t)
+      }
     sHi.stop()
 
     def rmrf(p: java.io.File): Unit = {
@@ -358,6 +372,8 @@ object Bench {
         s""""dedup_scale_planted_recall":${f"$dedupRecall%.3f"},""" +
         s""""dedup_scale_sec":${f"${dedupRepSecs.min}%.3f"},""" +
         s""""dedup_scale_reps_sec":${dedupRepSecs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""warc_parse_docs":$warcDocs,"warc_parse_sec":${f"$warcSec%.3f"},""" +
+        s""""warc_parse_docs_per_sec":${f"${if (warcSec > 0) warcDocs / warcSec else -1.0}%.1f"},""" +
         s""""skew_hot_host_sec":${f"$skewHotSec%.3f"},""" +
         s""""skew_uniform_host_sec":${f"$skewUniformSec%.3f"}}"""
     // Durable copy: round 1's JSON was buried in the sbt log tail and the
