@@ -263,6 +263,25 @@ object SparkEntry {
           Multimodal.audioSamples(s, dir))
         Multimodal.audioFeatures(mat)
       }),
+      // WET-style OUTPUT: completed extracted docs as WARC `conversion`
+      // records (the Common-Crawl WET convention), read back through the
+      // parser; the oracle recomputes byte length + md5 straight from
+      // the materialized extracted table — the round trip must be
+      // byte-exact for every completed doc
+      "q_wet_sink" -> ((s, dir) => {
+        import s.implicits._
+        val extracted = cachedExtract(s, dir)
+        val staged = s"${oracleBase(dir)}/staged_wet"
+        stageOnce(staged) {
+          graft.sources.Warc.stageExtracted(
+            extracted.as[graft.model.Extracted], staged, parts = 8)
+        }
+        graft.sources.Warc.records(s, staged, "conversion")
+          .toDF("url", "payload")
+          .select(col("url"), length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("text_md5"))
+          .orderBy(col("url"))
+      }),
       // the graft-ocr ENGINE PROFILE end-to-end: real rendered PNG page
       // payloads through the FULL extract kernel (dispatch → pixel
       // decode → GlyphOcr) — not just the recognizer in isolation.
@@ -602,6 +621,12 @@ object SparkEntry {
            |   THEN 1 ELSE 0 END AS flip
            | FROM ${rp("audio_samples")})
            |GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin,
+      // the WET round-trip must reproduce the extracted text byte-exactly
+      // (strlen = UTF-8 byte length; md5 over the same bytes)
+      "q_wet_sink" ->
+        s"""SELECT url, CAST(strlen(text) AS INT) AS n_bytes, md5(text) AS text_md5
+           |FROM ${rp("extracted")} WHERE status = 'completed'
+           |ORDER BY url""".stripMargin,
       // a second engine re-joins extracted rows vs expectations per url
       "extract_ocr_engine" ->
         s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,

@@ -220,16 +220,49 @@ object Warc {
     }
   }
 
-  /** Read a directory of WARC files as pages: one task per file (the
-    * non-splittable-member reality), records parsed in-task.
+  /** Read a directory of WARC files as records of one type: one task
+    * per file (the non-splittable-member reality), parsed in-task.
     */
-  def pages(s: SparkSession, dir: String): Dataset[Page] = {
+  def records(s: SparkSession, dir: String,
+      warcType: String): Dataset[(String, Array[Byte])] = {
     import s.implicits._
     s.read.format("binaryFile").load(dir)
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap(b => parse(b).iterator
-        .filter(_.warcType == "response")
-        .map(r => Page(r.url, null, r.payload, "", "")))
+        .filter(_.warcType == warcType)
+        .map(r => (r.url, r.payload)))
+  }
+
+  /** Crawl-input view: `response` records as pages. */
+  def pages(s: SparkSession, dir: String): Dataset[Page] = {
+    import s.implicits._
+    records(s, dir, "response").map { case (url, payload) =>
+      Page(url, null, payload, "", "")
+    }
+  }
+
+  /** WET-style OUTPUT: completed extracted docs written as WARC
+    * `conversion` records (the Common-Crawl WET convention — extracted
+    * text riding the same container as the crawl itself), gzip-member
+    * files, one per partition, through the Hadoop filesystem.
+    */
+  def stageExtracted(extracted: Dataset[graft.model.Extracted], dir: String,
+      parts: Int): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(
+      extracted.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
+    extracted.filter(col("status") === "completed")
+      .repartition(parts, col("url"))
+      .foreachPartition { (it: Iterator[graft.model.Extracted]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+        val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(f, true))
+        try write(it.map(e =>
+          WarcRecord(e.url, "conversion", e.text.getBytes("UTF-8"))), out,
+          gzipMembers = true)
+        finally out.close()
+      }
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.Warc
 import graft.sources.Warc.WarcRecord
 
@@ -133,6 +135,22 @@ class WarcSpec extends AnyFunSuite {
       }
       rm(new java.io.File(base))
     }
+  }
+
+  test("q_wet_sink: extracted text round-trips as conversion records, byte-exact") {
+    import TestSpark.{sf0001, spark}
+    import spark.implicits._
+    val got = SparkEntry.queries("q_wet_sink")(spark, sf0001)
+      .as[(String, Int, String)].collect()
+    assert(got.nonEmpty)
+    // every completed doc appears exactly once with its exact text bytes
+    val want = SparkEntry.queries("extract_main")(spark, sf0001)
+      .filter(col("status") === "completed")
+      .select(col("url"), col("text")).as[(String, String)].collect()
+      .map { case (u, t) => (u, t.getBytes("UTF-8").length) }.sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq == want.toSeq)
+    // failed/cancelled docs are never emitted as conversion records
+    assert(got.length == want.length)
   }
 
   test("q_warc_source: full-corpus container round-trip matches the no-WARC frame") {
