@@ -263,6 +263,38 @@ object SparkEntry {
           Multimodal.audioSamples(s, dir))
         Multimodal.audioFeatures(mat)
       }),
+      // link graph (crawl frontier): hrefs extracted by the kernel
+      // scanner, resolved root-relative against the source host, and
+      // aggregated into an edge table. The raw markup materializes as
+      // TEXT so DuckDB re-extracts the hrefs with ITS OWN regex over the
+      // same pages — extraction itself is cross-engine-verified, not
+      // just the aggregation
+      "link_graph" -> ((s, dir) => {
+        import s.implicits._
+        val mat = materialize(s, s"${oracleBase(dir)}/html_pages") {
+          PageSynth.pages(s, dir)
+            .filter(p => p.html != null && p.html.length > 0 &&
+              p.html(0) == '<'.toByte)
+            .map(p => (p.url, new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+            .toDF("url", "html")
+        }
+        mat.as[(String, String)]
+          .flatMap { case (url, html) =>
+            graft.kernel.LinkExtract.hrefs(html).map(h => (url, h))
+          }
+          .toDF("url", "href")
+          // resolve root-relative hrefs against the page host (all the
+          // corpus' anchors are root-relative; others would pass through)
+          .select(col("url"),
+            when(col("href").startsWith("/"),
+              concat(lit("https://"),
+                regexp_extract(col("url"), "^https?://([^/]+)/", 1), col("href")))
+              .otherwise(col("href")).as("dst"))
+          .groupBy(col("dst"))
+          .agg(countDistinct(col("url")).as("n_src_pages"),
+            count(lit(1)).as("n_occurrences"))
+          .orderBy(col("dst"))
+      }),
       // WET-style OUTPUT: completed extracted docs as WARC `conversion`
       // records (the Common-Crawl WET convention), read back through the
       // parser; the oracle recomputes byte length + md5 straight from
@@ -621,6 +653,21 @@ object SparkEntry {
            |   THEN 1 ELSE 0 END AS flip
            | FROM ${rp("audio_samples")})
            |GROUP BY doc_id, sample_rate ORDER BY doc_id""".stripMargin,
+      // DuckDB re-extracts every href with its own regex over the SAME
+      // materialized markup, re-resolves, and re-aggregates — a second
+      // engine attesting the link extraction itself
+      "link_graph" ->
+        s"""WITH links AS (
+           | SELECT url, unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+           | FROM ${rp("html_pages")}),
+           |resolved AS (
+           | SELECT url, CASE WHEN href LIKE '/%'
+           |  THEN 'https://' || regexp_extract(url, '^https?://([^/]+)/', 1) || href
+           |  ELSE href END AS dst
+           | FROM links)
+           |SELECT dst, CAST(count(DISTINCT url) AS BIGINT) AS n_src_pages,
+           | CAST(count(*) AS BIGINT) AS n_occurrences
+           |FROM resolved GROUP BY dst ORDER BY dst""".stripMargin,
       // the WET round-trip must reproduce the extracted text byte-exactly
       // (strlen = UTF-8 byte length; md5 over the same bytes)
       "q_wet_sink" ->
