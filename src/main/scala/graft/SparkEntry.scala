@@ -358,6 +358,10 @@ object SparkEntry {
       // URL canonicalization + dedup over a deterministic variant corpus
       "url_dedup" -> ((s, dir) =>
         graft.operators.UrlDedup.urlDedup(cachedExtract(s, dir))),
+      // robots.txt policy filter: both engines derive, parse, and apply
+      // the same per-host robots text (prefix Disallow semantics)
+      "robots_filter" -> ((s, dir) =>
+        graft.operators.UrlDedup.robotsFilter(cachedExtract(s, dir))),
       // ---- end-to-end training-corpus pipeline ----
       "pipeline_corpus" -> ((s, dir) => pipelineCorpusMat(s, dir).orderBy(col("url"))),
       "pipeline_funnel" -> ((s, dir) =>
@@ -732,6 +736,7 @@ object SparkEntry {
            |FROM docs d CROSS JOIN bl ORDER BY d.url""".stripMargin,
       "text_repetition" -> TextAnalysis.textRepetitionSql(rp("extracted")),
       "url_dedup" -> graft.operators.UrlDedup.urlDedupSql(rp("extracted")),
+      "robots_filter" -> graft.operators.UrlDedup.robotsFilterSql(rp("extracted")),
       // DuckDB replicates the MinHash-LSH banding (bucket cap included)
       // from the materialized band frame and re-verifies candidates with
       // its own exact shingle Jaccard — only the minhash signatures

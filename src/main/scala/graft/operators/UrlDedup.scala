@@ -90,4 +90,86 @@ object UrlDedup {
        | FROM parts)
        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants, min(url) AS first_url
        |FROM canon GROUP BY 1 ORDER BY canonical_url""".stripMargin
+
+  // ------------------------------------------------------------------
+  // robots.txt policy filter (crawl hygiene)
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-host robots.txt TEXT — a real file body (comment
+    * lines, User-agent header, Disallow rules, one host-conditional
+    * rule) both engines derive from the host name alone, so the PARSE
+    * step is genuinely cross-checked, not just the policy application.
+    */
+  def robotsTxtCol(host: Column): Column =
+    concat(
+      lit("# synthetic robots fixture\nUser-agent: *\nDisallow: /src1\nDisallow: /contact\n"),
+      when(length(host) % 2 === 0, lit("Disallow: /src3/\n")).otherwise(lit("")),
+      lit("Crawl-delay: 1\n"))
+
+  /** Robots policy over the corpus URLs: parse each host's robots.txt
+    * (split lines, keep `Disallow: ` rules), then block any URL whose
+    * path starts with a disallowed prefix — the classic prefix
+    * semantics. Per host: rule count, URL count, blocked, allowed.
+    *
+    * Scale shape: the rules frame is one row per (host, rule) —
+    * dimension-sized, broadcast into the block check; URLs never
+    * shuffle for the policy join, only for the final per-host agg
+    * (which partial-aggregates).
+    */
+  def robotsFilter(extracted: DataFrame): DataFrame = {
+    val urls = extracted.filter(col("status") === "completed")
+      .select(col("url"),
+        regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1).as("host"),
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"))
+    val rules = urls.select(col("host")).distinct()
+      .select(col("host"), explode(split(robotsTxtCol(col("host")), "\n")).as("line"))
+      .filter(col("line").startsWith("Disallow: "))
+      .select(col("host"), expr("substring(line, 11)").as("prefix"))
+      .filter(length(col("prefix")) > 0)
+    val blocked = urls.join(broadcast(rules),
+        urls("host") === rules("host") && urls("path").startsWith(rules("prefix")),
+        "left_semi")
+      .groupBy(col("host")).agg(count(lit(1)).as("n_blocked"))
+    val ruleCounts = rules.groupBy(col("host")).agg(count(lit(1)).as("n_rules"))
+    urls.groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+      .join(ruleCounts, Seq("host"))
+      .join(blocked, Seq("host"), "left")
+      .select(col("host"), col("n_rules"), col("n_urls"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        (col("n_urls") - coalesce(col("n_blocked"), lit(0L))).as("n_allowed"))
+      .orderBy(col("host"))
+  }
+
+  /** DuckDB recompute: same robots text derived per host, same line
+    * parse, same prefix semantics via starts_with.
+    */
+  def robotsFilterSql(rp: String): String =
+    s"""WITH urls AS (
+       | SELECT url,
+       |  regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS host,
+       |  regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path
+       | FROM $rp WHERE status = 'completed'),
+       |robots AS (
+       | SELECT DISTINCT host,
+       |  '# synthetic robots fixture' || chr(10) || 'User-agent: *' || chr(10) ||
+       |  'Disallow: /src1' || chr(10) || 'Disallow: /contact' || chr(10) ||
+       |  CASE WHEN length(host) % 2 = 0 THEN 'Disallow: /src3/' || chr(10) ELSE '' END ||
+       |  'Crawl-delay: 1' || chr(10) AS txt
+       | FROM urls),
+       |rules AS (
+       | SELECT host, substring(line, 11) AS prefix FROM (
+       |  SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
+       | WHERE starts_with(line, 'Disallow: ') AND length(substring(line, 11)) > 0),
+       |blocked AS (
+       | SELECT u.host, count(*) AS n_blocked FROM urls u
+       | WHERE EXISTS (SELECT 1 FROM rules r
+       |   WHERE r.host = u.host AND starts_with(u.path, r.prefix))
+       | GROUP BY u.host),
+       |rc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_rules FROM rules GROUP BY host),
+       |uc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM urls GROUP BY host)
+       |SELECT uc.host, rc.n_rules, uc.n_urls,
+       | CAST(coalesce(b.n_blocked, 0) AS BIGINT) AS n_blocked,
+       | CAST(uc.n_urls - coalesce(b.n_blocked, 0) AS BIGINT) AS n_allowed
+       |FROM uc JOIN rc USING (host) LEFT JOIN blocked b ON b.host = uc.host
+       |ORDER BY host""".stripMargin
 }

@@ -208,6 +208,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.values.forall(n => n >= 1 && n <= windowsPerSnippet.toLong))
   }
 
+  test("robots_filter: prefix Disallow semantics, per-host accounting closes") {
+    val rows = SparkEntry.queries("robots_filter")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (host, nRules, nUrls, nBlocked, nAllowed) =>
+      assert(nBlocked + nAllowed == nUrls, host) // accounting closes
+      // even-length hosts carry the extra /src3/ rule
+      assert(nRules == (if (host.length % 2 == 0) 3L else 2L), host)
+    }
+    // the policy actually bites: some blocked, some allowed overall
+    assert(rows.map(_._4).sum > 0 && rows.map(_._5).sum > 0)
+    // prefix semantics: 'Disallow: /src1' must block /src1/... AND
+    // /src10/... /src19/... (robots prefixes are raw string prefixes,
+    // not path segments) — verify against a driver-side recount
+    val urls = SparkEntry.queries("extract_main")(spark, sf0001)
+      .filter(col("status") === "completed").select(col("url")).as[String].collect()
+    val wantBlocked = urls.count { u =>
+      val host = u.split("/")(2)
+      val path = u.substring(u.indexOf(host) + host.length)
+      path.startsWith("/src1") ||
+        (host.length % 2 == 0 && path.startsWith("/src3/"))
+    }
+    assert(rows.map(_._4).sum == wantBlocked.toLong)
+  }
+
   test("bpe_pair_stats: one merge-selection round over the corpus") {
     val rows = SparkEntry.queries("bpe_pair_stats")(spark, sf0001)
       .as[(String, Long)].collect()
