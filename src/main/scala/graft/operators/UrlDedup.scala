@@ -117,15 +117,18 @@ object UrlDedup {
     * (which partial-aggregates).
     */
   def robotsFilter(extracted: DataFrame): DataFrame = {
-    val urls = extracted.filter(col("status") === "completed")
+    // truncate(): urls feeds THREE consumers (rules derivation, the
+    // block join, the per-host count) and rules two — without it each
+    // consumer re-scans the extracted table and re-runs the regexes
+    val urls = Dedup.truncate(extracted.filter(col("status") === "completed")
       .select(col("url"),
         regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1).as("host"),
-        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"))
-    val rules = urls.select(col("host")).distinct()
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path")))
+    val rules = Dedup.truncate(urls.select(col("host")).distinct()
       .select(col("host"), explode(split(robotsTxtCol(col("host")), "\n")).as("line"))
       .filter(col("line").startsWith("Disallow: "))
       .select(col("host"), expr("substring(line, 11)").as("prefix"))
-      .filter(length(col("prefix")) > 0)
+      .filter(length(col("prefix")) > 0))
     val blocked = urls.join(broadcast(rules),
         urls("host") === rules("host") && urls("path").startsWith(rules("prefix")),
         "left_semi")

@@ -166,27 +166,35 @@ object Warc {
     * (distributed: one file per output partition, payloads never
     * collect to the driver).
     */
-  def stagePages(pages: Dataset[Page], dir: String, parts: Int): Unit = {
+  /** Shared distributed staging core: `toRecord` rows of any frame
+    * (already url-keyed by the caller's repartition) as gzip-member WARC
+    * files, one per partition, written through the Hadoop filesystem
+    * (NOT executor-local java.io — on a real cluster the staged files
+    * must land where every reader task can list them; overwrite=true
+    * keeps re-staging idempotent; task-side Configuration resolves the
+    * default FS from the classpath's core-site, the standard pattern).
+    * ONE implementation so the staging contract snapshotIdOf depends on
+    * (fixed part names + fresh length/mtime) cannot diverge per caller.
+    */
+  private def stageRecords[T](ds: Dataset[T], dir: String, parts: Int,
+      key: org.apache.spark.sql.Column)(toRecord: T => WarcRecord): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(
-      pages.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
-    pages.repartition(parts, col("url")).foreachPartition {
-      (it: Iterator[Page]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        // write through the Hadoop filesystem (NOT executor-local java.io):
-        // on a real cluster the staged files must land where every reader
-        // task can list them; overwrite=true keeps re-staging idempotent.
-        // (Executor-side Configuration resolves the default FS from the
-        // classpath's core-site, the standard task-side pattern.)
-        val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
-        val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = new java.io.BufferedOutputStream(fs.create(f, true))
-        try write(it.map(p => WarcRecord(p.url, "response",
-          if (p.html == null) Array.emptyByteArray else p.html)), out,
-          gzipMembers = true)
-        finally out.close()
+      ds.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
+    ds.repartition(parts, key).foreachPartition { (it: Iterator[T]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+      val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = new java.io.BufferedOutputStream(fs.create(f, true))
+      try write(it.map(toRecord), out, gzipMembers = true)
+      finally out.close()
     }
   }
+
+  def stagePages(pages: Dataset[Page], dir: String, parts: Int): Unit =
+    stageRecords(pages, dir, parts, col("url"))(p =>
+      WarcRecord(p.url, "response",
+        if (p.html == null) Array.emptyByteArray else p.html))
 
   /** True when `dir` holds WARC files (the crawl arrival layout) rather
     * than parquet — lets the runner accept either input format.
@@ -248,21 +256,7 @@ object Warc {
     * files, one per partition, through the Hadoop filesystem.
     */
   def stageExtracted(extracted: Dataset[graft.model.Extracted], dir: String,
-      parts: Int): Unit = {
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(
-      extracted.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
-    extracted.filter(col("status") === "completed")
-      .repartition(parts, col("url"))
-      .foreachPartition { (it: Iterator[graft.model.Extracted]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
-        val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = new java.io.BufferedOutputStream(fs.create(f, true))
-        try write(it.map(e =>
-          WarcRecord(e.url, "conversion", e.text.getBytes("UTF-8"))), out,
-          gzipMembers = true)
-        finally out.close()
-      }
-  }
+      parts: Int): Unit =
+    stageRecords(extracted.filter(col("status") === "completed"), dir, parts,
+      col("url"))(e => WarcRecord(e.url, "conversion", e.text.getBytes("UTF-8")))
 }

@@ -67,12 +67,24 @@ class LinkExtractSpec extends AnyFunSuite {
       assert(dst.startsWith("https://") || dst.startsWith("http://"), dst)
       assert(nOcc >= nSrc && nSrc > 0)
     }
-    // the header 'about' link exists for every host with html pages, and
-    // its per-host src count equals that host's html page count
+    // the header 'about' link exists for every host with html pages and
+    // its per-host src count EQUALS that host's html page count (every
+    // page carries the chrome header exactly once)
+    // ground truth from the corpus generator: only true KHtml pages
+    // carry the chrome (the oversize doc's '<'+filler payload is
+    // html-ish to the sniff but anchor-free by construction)
+    val htmlPagesByHost = graft.sources.PageSynth.docs(spark, sf0001).collect()
+      .filter(d => graft.sources.PageSynth.kindOf(d.doc_id) == graft.sources.PageSynth.KHtml)
+      .map(d => graft.sources.PageSynth.urlFor(d).split("/")(2))
+      .groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+    assert(htmlPagesByHost.nonEmpty)
     val byHost = rows.groupBy(r => r._1.split("/")(2))
-    byHost.foreach { case (host, hs) =>
-      val about = hs.find(_._1 == s"https://$host/about")
+    htmlPagesByHost.foreach { case (host, nPages) =>
+      val about = byHost(host).find(_._1 == s"https://$host/about")
       assert(about.isDefined, s"host $host missing /about chrome link")
+      assert(about.get._2 == nPages,
+        s"host $host /about src pages ${about.get._2} != html pages $nPages")
+      assert(about.get._3 == nPages, s"host $host /about occurrences")
     }
   }
 }
