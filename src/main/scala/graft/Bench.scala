@@ -167,7 +167,7 @@ object Bench {
       "para_scrub", "text_repetition", "text_pii", "text_chunks",
       "text_lm_score", "q_asof_join", "q_sessionize",
       "decontaminate", "substring_dedup", "substring_dedup_hashed",
-      "corpus_pack", "bpe_pair_stats")
+      "corpus_pack", "bpe_pair_stats", "link_graph", "robots_filter")
     // The registered sketch queries materialize their signature stages
     // for the DuckDB oracle; timing those wrappers would either include
     // one-time parquet writes (cold) or SKIP the signature computation
