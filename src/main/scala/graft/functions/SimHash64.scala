@@ -62,7 +62,10 @@ object SimHash64 {
   * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("simhash64"), SimHash64.info,
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((FunctionIdentifier("token_grams"), TokenGrams.info,
+      (children: Seq[Expression]) => TokenGrams(children(0), children(1))))
+  }
 }

@@ -95,9 +95,22 @@ object Dedup {
     coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))), lit(0L))
       .as("dropped_slots"))
 
-  private def recordDropsFrom(c: DropCounter, obs: org.apache.spark.sql.Observation): Unit = {
+  /** Read the drop metrics that rode the checkpoint job. AQE's
+    * empty-relation propagation can REWRITE the observed node out of the
+    * plan when a downstream stage turns out empty — which is exactly the
+    * all-buckets-dropped case the counter exists for — so a missing
+    * metric falls back to `recompute` (one extra aggregation job, paid
+    * only on that degenerate path; never silently zero).
+    */
+  private def recordDropsFrom(c: DropCounter, obs: org.apache.spark.sql.Observation)(
+      recompute: => (Long, Long)): Unit = {
     val m = obs.get // already computed — the checkpoint was the action
-    c.set(m("dropped_buckets").asInstanceOf[Long], m("dropped_slots").asInstanceOf[Long])
+    if (m.contains("dropped_buckets"))
+      c.set(m("dropped_buckets").asInstanceOf[Long], m("dropped_slots").asInstanceOf[Long])
+    else {
+      val (b, d) = recompute
+      c.set(b, d)
+    }
   }
 
   /** documents ∪ planted near-duplicates (every 10th doc, suffix-mutated).
@@ -109,13 +122,20 @@ object Dedup {
     * arrive as thousands of splittable files). The repartition restores
     * the parallelism the operators would see at scale.
     */
-  def corpus(s: SparkSession, dir: String): DataFrame = {
+  def corpus(s: SparkSession, dir: String): DataFrame =
+    corpusPlain(s, dir).repartition(s.sparkContext.defaultParallelism)
+
+  /** The same corpus without the fixture-parallelism repartition — for
+    * consumers whose first operation is itself a shuffle (e.g. the exact
+    * md5 group-by), where a preceding repartition is a pure extra
+    * exchange (guide §2.4: remove accidental `repartition(n)`s).
+    */
+  private[operators] def corpusPlain(s: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(s, dir, "documents").select(col("doc_id"), col("text"))
     docs.unionAll(
       docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" graft dup marker suffix")).as("text")))
-      .repartition(s.sparkContext.defaultParallelism)
   }
 
   val corpusSql: String =
@@ -128,7 +148,7 @@ object Dedup {
     * The canonical first pass at any scale — one shuffle on the digest.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
+    corpusPlain(s, dir)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
@@ -157,8 +177,10 @@ object Dedup {
 
   private def shingleRowsFrom(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesExpr).as("s"))
+      // fused native 3-gram pass (graft.functions.TokenGrams); equality
+      // with tokensCol+shinglesExpr is asserted in TokenGramsSpec
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TokenGrams.tokenGrams(docs.sparkSession, col("text"), 3))).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs (shingle self-join). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
@@ -208,12 +230,27 @@ object Dedup {
       val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h1 = XxHash.hashBytes(bytes, 42L)
       val h2 = XxHash.hashBytes(bytes, 271828L) | 1L // odd → full-period
+      // 4-way unrolled min-update: h_i = h1 + i·h2 computed from four
+      // independent lanes so the CPU isn't serialized on one add chain
+      // (identical arithmetic mod 2^64 — same signatures bit-for-bit;
+      // this loop is ~70% of the signature kernel at extraction scale,
+      // NumHashes iterations per shingle)
+      val h2x2 = h2 + h2
+      val h2x3 = h2x2 + h2
+      val h2x4 = h2x2 + h2x2
       var i = 0
       var h = h1
       while (i < NumHashes) {
-        if (h < sig(i)) sig(i) = h
-        h += h2
-        i += 1
+        val a = h
+        val b = h + h2
+        val c = h + h2x2
+        val d = h + h2x3
+        if (a < sig(i)) sig(i) = a
+        if (b < sig(i + 1)) sig(i + 1) = b
+        if (c < sig(i + 2)) sig(i + 2) = c
+        if (d < sig(i + 3)) sig(i + 3) = d
+        h += h2x4
+        i += 4
       }
     }
     sig
@@ -314,20 +351,19 @@ object Dedup {
     */
   def minhashLshFromBands(s: SparkSession, bands: DataFrame, docs: DataFrame,
       maxBucket: Int = 64): DataFrame = {
-    // candidate pairs: co-bucketed docs (distinct across bands). Buckets
-    // holding >1 doc are a vanishing fraction of all buckets → checkpoint
-    // that small set once, then derive both the drop counter and the
-    // candidate pairs from it without recomputing signatures.
+    // candidate pairs: co-bucketed docs (distinct across bands). ONE
+    // checkpoint, of the (tiny) candidate-pair set; the bucket frame, its
+    // drop metrics, and the candidate count all complete inside that same
+    // checkpoint job (round 5 checkpointed the bucket frame AND the pair
+    // set — two sequential jobs where one suffices).
     val dropObs = org.apache.spark.sql.Observation()
+    val candObs = org.apache.spark.sql.Observation()
     val grouped = bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    val cand = grouped
       .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
-      .transform(truncate)
-    recordDropsFrom(MinhashDrops, dropObs) // metrics rode the checkpoint job
-    val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
-    val candObs = org.apache.spark.sql.Observation()
-    val cand = byBucket
+      .filter(size(col("ids")) <= maxBucket)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"))
         .as("p"))
@@ -337,28 +373,38 @@ object Dedup {
       // the candidate set is consumed three times below (doc gate + both
       // sides of the verify join) — materialize it once, it's tiny
       .transform(truncate)
-    MinhashCandidates.set(candObs.get("n_candidates").asInstanceOf[Long])
-    // exact verify on candidates only: shingles exploded JUST for docs
-    // appearing in some candidate pair (broadcast semi-join gate)
+    recordDropsFrom(MinhashDrops, dropObs) { // metrics rode the checkpoint job
+      val r = grouped.agg(dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    MinhashCandidates.set(
+      candObs.get.get("n_candidates").map(_.asInstanceOf[Long]).getOrElse(cand.count()))
+    // exact verify on candidates only: the semi-join gate sits BELOW the
+    // shingle computation (docs are filtered before tokenization — round
+    // 5 exploded every doc's shingles and semi-joined after, which the
+    // optimizer cannot reorder through a generator). Each gated doc's
+    // shingle SET stays an array on its row: |A∩B| is
+    // size(array_intersect) and |A| size(sh) — no shingle explode, no
+    // (doc, shingle) string shuffle, no per-pair count agg, no separate
+    // sizes frame (round 5 ran all four).
     val candDocs = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingleRowsFrom(docs)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("id_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    val sh = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(
+        graft.functions.TokenGrams.tokenGrams(s, col("text"), 3)).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha"),
+        size(col("sh")).as("na")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb"),
+        size(col("sh")).as("nb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       // threshold on the UNROUNDED ratio (rounding first would admit
       // J ∈ [0.5995, 0.6) pairs the exact dedupNgramJaccard path rejects —
       // the two strategies must agree on the same corpus); round only in
       // the output projection
       .withColumn("jaccard_raw",
-        col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard_raw") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard_raw"), 3).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -499,12 +545,16 @@ object Dedup {
           "c -> struct(c AS chunk, CAST(shiftright(sig, c * 16) & 65535 AS INT) AS v))")).as("p"))
       .select(col("doc_id"), col("sig"), col("p.chunk"), col("p.v"))
     val dropObs = org.apache.spark.sql.Observation()
-    val grouped = chunks.groupBy(col("chunk"), col("v"))
+    val pre = chunks.groupBy(col("chunk"), col("v"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    val grouped = pre
       .observe(dropObs, dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*)
       .transform(truncate)
-    recordDropsFrom(SimhashDrops, dropObs)
+    recordDropsFrom(SimhashDrops, dropObs) {
+      val r = pre.agg(dropMetrics(maxBucket).head, dropMetrics(maxBucket).tail: _*).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     val byBucket = grouped.filter(size(col("ids")) <= maxBucket)
     byBucket
       .select(explode(expr(

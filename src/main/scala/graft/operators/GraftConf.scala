@@ -26,6 +26,11 @@ object GraftConf {
     // on extracted text at similar decode speed (matters when the
     // OUTPUT table is petabytes).
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // allow shuffled hash join where its size conditions hold (guide §3.1
+    // / §9): no sort on either side, graceful for the many small-dim
+    // joins in the suite; sort-merge remains the planner's pick whenever
+    // the build side could not fit.
+    .config("spark.sql.join.preferSortMergeJoin", "false")
     // transient-failure budget per task (the reference's retry ladder at
     // task granularity, ocr_task.py:13; per-ROW failures are data, not
     // task failures — the kernel catches them).

@@ -38,16 +38,27 @@ object Similarity {
     * the test scales where max vec_id < 100·MaxQueries). (The
     * repartition undoes the single-file smoke table's one-partition
     * scan — see Dedup.corpus.)
+    *
+    * The normed corpus frame is cut with Dedup.truncate: every ANN path
+    * consumes it several times (index build, probe build, candidate
+    * scoring, query broadcast), and round 5 re-ran the
+    * scan + repartition + norm subtree for each consumer — up to five
+    * scans of the embeddings table per query invocation. The cut is the
+    * index-build step (FAISS stores exactly this: vectors + norms);
+    * nothing persists across invocations — every call recomputes it from
+    * the parquet input.
     */
   private def queriesAndCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Relational.table(s, dir, "embeddings")
+    val e = Dedup.truncate(Relational.table(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", Dedup.l2norm(col("e")))
-    val q = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries))
-      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    (q, e)
+      .withColumn("nrm", Dedup.l2norm(col("e"))))
+    (queriesFrom(e), e)
   }
+
+  private def queriesFrom(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0 && col("vec_id") < lit(100L * MaxQueries))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
 
   /** Exact top-k cosine neighbors per query (broadcast queries, window
     * top-k; deterministic vec_id tiebreak).
@@ -317,10 +328,12 @@ object Similarity {
   /** Corpus-side cell assignment (narrow map, no shuffle) — exposed for
     * materialization so the DuckDB oracle can replicate the probe join.
     */
-  def annIvfCells(s: SparkSession, dir: String): DataFrame = {
+  def annIvfCells(s: SparkSession, dir: String): DataFrame =
+    annIvfCellsOf(s, ivfCentroids(s, dir), queriesAndCorpus(s, dir)._2)
+
+  private def annIvfCellsOf(s: SparkSession,
+      cents: Array[(Int, Array[Double])], e: DataFrame): DataFrame = {
     import s.implicits._
-    val cents = ivfCentroids(s, dir)
-    val (_, e) = queriesAndCorpus(s, dir)
     e.select(col("vec_id"), col("e"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) => (id, nearestCells(v, cents, 1).head) }
@@ -328,19 +341,26 @@ object Similarity {
   }
 
   /** Query-side probe list (cells/IvfProbeFraction nearest cells per query). */
-  def annIvfProbes(s: SparkSession, dir: String): DataFrame = {
+  def annIvfProbes(s: SparkSession, dir: String): DataFrame =
+    annIvfProbesOf(s, ivfCentroids(s, dir), queriesAndCorpus(s, dir)._1)
+
+  private def annIvfProbesOf(s: SparkSession,
+      cents: Array[(Int, Array[Double])], q: DataFrame): DataFrame = {
     import s.implicits._
-    val cents = ivfCentroids(s, dir)
     val probes = ivfProbesFor(cents.length)
-    val (q, _) = queriesAndCorpus(s, dir)
     q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) => nearestCells(v, cents, probes).map(c => (id, c)) }
       .toDF("qid", "cell")
   }
 
-  def annIvf(s: SparkSession, dir: String): DataFrame =
-    annIvfFrom(s, dir, annIvfCells(s, dir), annIvfProbes(s, dir))
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    // one normed-corpus cut shared by index build, probe build, and
+    // scoring (round 5 re-derived it per leg)
+    val (q, e) = queriesAndCorpus(s, dir)
+    val cents = ivfCentroids(s, dir)
+    annIvfScore(q, e, annIvfCellsOf(s, cents, e), annIvfProbesOf(s, cents, q))
+  }
 
   /** Probe join + exact scoring from already-computed (or materialized)
     * cell-assignment frames.
@@ -348,6 +368,11 @@ object Similarity {
   def annIvfFrom(s: SparkSession, dir: String,
       corpusCells: DataFrame, probeCells: DataFrame): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
+    annIvfScore(q, e, corpusCells, probeCells)
+  }
+
+  private def annIvfScore(q: DataFrame, e: DataFrame,
+      corpusCells: DataFrame, probeCells: DataFrame): DataFrame = {
     // quantized rank ordering — see annBruteForce for the rationale
     val w = Window.partitionBy(col("qid")).orderBy(round(col("sim"), 4).desc, col("vec_id"))
     corpusCells.join(broadcast(probeCells), Seq("cell"))
@@ -471,9 +496,11 @@ object Similarity {
     * equality with lshSignature is spec-asserted. Exposed for
     * materialization (oracle input).
     */
-  def annLshBands(s: SparkSession, dir: String): DataFrame = {
+  def annLshBands(s: SparkSession, dir: String): DataFrame =
+    annLshBandsOf(s, queriesAndCorpus(s, dir)._2)
+
+  private def annLshBandsOf(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    val (_, e) = queriesAndCorpus(s, dir)
     e.select(col("vec_id"), col("e"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
@@ -487,9 +514,11 @@ object Similarity {
     * growing the corpus-side index — the scale-correct trade (probes are
     * per-query, the index is per-corpus).
     */
-  def annLshProbes(s: SparkSession, dir: String): DataFrame = {
+  def annLshProbes(s: SparkSession, dir: String): DataFrame =
+    annLshProbesOf(s, queriesAndCorpus(s, dir)._1)
+
+  private def annLshProbesOf(s: SparkSession, q: DataFrame): DataFrame = {
     import s.implicits._
-    val (q, _) = queriesAndCorpus(s, dir)
     q.select(col("qid"), col("qe"))
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
@@ -506,8 +535,13 @@ object Similarity {
       .toDF("qid", "t", "probe")
   }
 
-  def annLsh(s: SparkSession, dir: String): DataFrame =
-    annLshFrom(s, dir, annLshBands(s, dir), annLshProbes(s, dir))
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    // one normed-corpus cut shared by index build, probe build, and
+    // scoring (round 5 re-derived it per leg — five scans of the
+    // embeddings table in one invocation)
+    val (q, e) = queriesAndCorpus(s, dir)
+    annLshScore(q, e, annLshBandsOf(s, e), annLshProbesOf(s, q))
+  }
 
   /** Candidate join + exact scoring from already-computed (or
     * materialized) index/probe frames.
@@ -515,6 +549,11 @@ object Similarity {
   def annLshFrom(s: SparkSession, dir: String,
       corpus: DataFrame, probes: DataFrame): DataFrame = {
     val (q, e) = queriesAndCorpus(s, dir)
+    annLshScore(q, e, corpus, probes)
+  }
+
+  private def annLshScore(q: DataFrame, e: DataFrame,
+      corpus: DataFrame, probes: DataFrame): DataFrame = {
     // quantized rank ordering — see annBruteForce for the rationale
     val w = Window.partitionBy(col("qid")).orderBy(round(col("sim"), 4).desc, col("vec_id"))
     // dedupe candidate PAIRS on ids only (a pair colliding in several

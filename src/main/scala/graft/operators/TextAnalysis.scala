@@ -37,7 +37,7 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n_tokens"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("n_alnum_tokens"),
+        size(graft.functions.TokenGrams.tokenGrams(s, col("text"), 1)).as("n_alnum_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).as("n_punct"),
         round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
@@ -125,7 +125,12 @@ object TextAnalysis {
     */
   def bpePairStats(s: SparkSession, dir: String): DataFrame =
     Relational.table(s, dir, "documents")
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .select(col("text"))
+      // fixture-parallelism restore (single-file scan → one task — the
+      // whole per-character explode ran serially in round 5); at scale
+      // the input arrives as many splittable files and this is dropped
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(graft.functions.TokenGrams.tokenGrams(s, col("text"), 1)).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
@@ -354,10 +359,12 @@ object TextAnalysis {
     * regroups the full text.
     */
   def textRepetition(extracted: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val s = extracted.sparkSession
     val docs = extracted.filter(col("status") === "completed")
       .select(col("url"), col("text"),
-        Dedup.tokensCol(col("text")).as("toks"))
+        // fused native tokenizer (TokenGramsSpec pins equality with the
+        // regexp form); n=1 grams ARE the token array
+        graft.functions.TokenGrams.tokenGrams(s, col("text"), 1).as("toks"))
       .withColumn("n_alnum_chars", length(concat_ws("", col("toks"))))
     val lineStats = docs
       .select(col("url"), explode(split(col("text"), "\n", -1)).as("line"))
@@ -370,16 +377,17 @@ object TextAnalysis {
         sum(col("c") * length(col("line"))).as("n_line_chars"),
         sum((col("c") - 1) * length(col("line"))).as("n_dup_line_chars"))
     val bigrams = docs
-      .select(col("url"), explode(expr(
-        "CASE WHEN size(toks) >= 2 THEN " +
-          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])) " +
-          "ELSE array() END")).as("g"))
+      .select(col("url"),
+        explode(graft.functions.TokenGrams.tokenGrams(s, col("text"), 2)).as("g"))
       .groupBy(col("url"), col("g")).agg(count(lit(1)).as("c"))
+    // top-1 by (count desc, gram asc) as a hash-aggregate min over the
+    // struct (-c, g) — replaces the round-5 row_number window: same total
+    // order, but partial aggregation runs map-side and nothing sorts or
+    // buffers per-url groups (guide §2.3 "aggregate before you shuffle")
     val top = bigrams
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("url")).orderBy(col("c").desc, col("g"))))
-      .filter(col("rn") === 1)
-      .select(col("url"), col("g").as("top_2gram"), col("c").as("top_c"))
+      .groupBy(col("url"))
+      .agg(min(struct((-col("c")).as("nc"), col("g"))).as("m"))
+      .select(col("url"), col("m.g").as("top_2gram"), (-col("m.nc")).as("top_c"))
     docs.select(col("url"), col("n_alnum_chars"))
       .join(lineStats, Seq("url"), "left")
       .join(top, Seq("url"), "left")
@@ -493,7 +501,8 @@ object TextAnalysis {
     */
   def textLmScore(s: SparkSession, dir: String): DataFrame = {
     val toks = Relational.table(s, dir, "documents")
-      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenGrams.tokenGrams(s, col("text"), 1)).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok")).limit(LmVocabCap)
     val stats = vocab.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
@@ -614,6 +623,10 @@ object TextAnalysis {
     */
   def textChunks(s: SparkSession, dir: String): DataFrame =
     Relational.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      // fixture-parallelism restore (single-file scan → one task; the
+      // chunk expansion is a narrow map and ran serially in round 5)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_doc_tokens"),

@@ -46,11 +46,17 @@ object TrainingSet {
     * ground truth the oracle re-derives.
     */
   private def contamCorpus(docs: DataFrame): (DataFrame, DataFrame) = {
-    val withToks = docs.select(col("doc_id"), Dedup.tokensCol(col("text")).as("toks"))
-    val donors = withToks
-      .filter(col("doc_id") % 50 === 0 && size(col("toks")) >= SnipStart + SnipLen)
+    // donor-id filter BEFORE tokenization (only 1/50 docs tokenize), and
+    // the tiny donor frame is checkpointed once — it feeds three
+    // consumers (planted docs, the anti-join, the benchmark gram set),
+    // which round 5 recomputed as three separate subtrees
+    val toks = graft.functions.TokenGrams.tokenGrams(docs.sparkSession, col("text"), 1)
+    val donors = Dedup.truncate(docs
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SnipStart + SnipLen)
       .select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), SnipStart + 1, SnipLen)).as("snippet"))
+        concat_ws(" ", slice(col("toks"), SnipStart + 1, SnipLen)).as("snippet")))
     val planted = donors.select(
       (col("doc_id") + 2000000L).as("doc_id"),
       concat(lit("completely unrelated preamble words here "),
@@ -73,11 +79,14 @@ object TrainingSet {
       // input arrives as thousands of splittable files and this repartition
       // is dropped — the gram-match path itself never needs a text shuffle.
       .repartition(s.sparkContext.defaultParallelism)
+    // fused native 13-gram pass on both sides (TokenGramsSpec pins
+    // equality with gramsExpr∘tokensCol)
     val benchGrams = donors
-      .select(explode(gramsExpr(Dedup.tokensCol(col("snippet")), NGram)).as("gram"))
+      .select(explode(graft.functions.TokenGrams.tokenGrams(s, col("snippet"), NGram)).as("gram"))
       .distinct()
     corpus
-      .select(col("doc_id"), explode(gramsExpr(Dedup.tokensCol(col("text")), NGram)).as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.TokenGrams.tokenGrams(s, col("text"), NGram)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_hits"))
@@ -88,7 +97,7 @@ object TrainingSet {
     * Pure higher-order-function expression (codegen'd, no UDF); slice is
     * 1-based, window starts 0-based.
     */
-  private def gramsExpr(toks: Column, n: Int): Column =
+  private[graft] def gramsExpr(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
@@ -130,33 +139,40 @@ object TrainingSet {
   /** Window width (tokens) for span-level dedup. */
   val SpanWindow = 16
 
-  /** The exploded (doc_id, key) window frame, tokenized ONCE and cut
-    * with Dedup.truncate so both consumers below (the dup-key agg and
-    * the flagging join) read the materialized blocks instead of
-    * re-running tokenize+explode — round 4 ran the explode three times.
+  /** The (doc_id, wkey, c) window frame, COLLAPSED to per-(key, doc)
+    * occurrence counts inside the checkpoint, and cut with Dedup.truncate
+    * so both consumers below (the dup-key agg and the flagging join) read
+    * the materialized blocks. Round 5 checkpointed the RAW exploded
+    * positions and re-collapsed them twice (once inside countDistinct,
+    * once through the join) — folding the (wkey, doc_id) aggregation into
+    * the checkpoint job shuffles each window string once instead of
+    * twice and materializes the collapsed rows, not every position.
     */
   private def windowFrame(s: SparkSession, dir: String, keyed: Column => Column): DataFrame =
     Dedup.truncate(
       Dedup.corpus(s, dir)
         .select(col("doc_id"),
-          explode(gramsExpr(Dedup.tokensCol(col("text")), SpanWindow)).as("w"))
+          explode(graft.functions.TokenGrams.tokenGrams(s, col("text"), SpanWindow)).as("w"))
         // second projection: a generator can't nest inside xxhash64(...)
-        .select(col("doc_id"), keyed(col("w")).as("wkey")))
+        .select(col("doc_id"), keyed(col("w")).as("wkey"))
+        .groupBy(col("wkey"), col("doc_id")).agg(count(lit(1)).as("c")))
 
-  /** Shared tail: flag windows whose key appears in ≥2 distinct docs,
-    * then count total AND duplicated windows per doc in a SINGLE agg
-    * (left join against the dup-key set; count(dup) skips nulls).
+  /** Shared tail: flag keys appearing in ≥2 distinct docs (row count per
+    * key — the frame is already per-(key, doc)), then count total AND
+    * duplicated window POSITIONS per doc in a single agg by summing the
+    * collapsed occurrence counts (left join against the dup-key set).
     */
   private def substringDedupFrom(windows: DataFrame): DataFrame = {
     val dupKeys = windows
       .groupBy(col("wkey"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("wkey"), lit(1).as("is_dup"))
     windows
       .join(dupKeys, Seq("wkey"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"), count(col("is_dup")).as("n_dup_windows"))
+      .agg(sum(col("c")).as("n_windows"),
+        coalesce(sum(when(col("is_dup").isNotNull, col("c"))), lit(0L)).as("n_dup_windows"))
       .filter(col("n_dup_windows") > 0)
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         round(col("n_dup_windows").cast("double") / col("n_windows"), 3).as("dup_frac"))
@@ -249,7 +265,8 @@ object TrainingSet {
     corpusPackFrom(s,
       Relational.table(s, dir, "documents")
         .select(col("doc_id"),
-          least(size(Dedup.tokensCol(col("text"))), lit(PackBudget)).as("n_tok")))
+          least(size(graft.functions.TokenGrams.tokenGrams(s, col("text"), 1)),
+            lit(PackBudget)).as("n_tok")))
 
   /** Packing core over a (doc_id, n_tok) frame; `bucketsOverride` exists
     * for the determinism spec (same output at any partitioning / any

@@ -117,29 +117,31 @@ object UrlDedup {
     * (which partial-aggregates).
     */
   def robotsFilter(extracted: DataFrame): DataFrame = {
-    // truncate(): urls feeds THREE consumers (rules derivation, the
-    // block join, the per-host count) and rules two — without it each
-    // consumer re-scans the extracted table and re-runs the regexes
-    val urls = Dedup.truncate(extracted.filter(col("status") === "completed")
+    val urls = extracted.filter(col("status") === "completed")
       .select(col("url"),
         regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1).as("host"),
-        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path")))
-    val rules = Dedup.truncate(urls.select(col("host")).distinct()
+        regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1).as("path"))
+    val rules = urls.select(col("host")).distinct()
       .select(col("host"), explode(split(robotsTxtCol(col("host")), "\n")).as("line"))
       .filter(col("line").startsWith("Disallow: "))
       .select(col("host"), expr("substring(line, 11)").as("prefix"))
-      .filter(length(col("prefix")) > 0))
-    val blocked = urls.join(broadcast(rules),
-        urls("host") === rules("host") && urls("path").startsWith(rules("prefix")),
-        "left_semi")
-      .groupBy(col("host")).agg(count(lit(1)).as("n_blocked"))
-    val ruleCounts = rules.groupBy(col("host")).agg(count(lit(1)).as("n_rules"))
-    urls.groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
-      .join(ruleCounts, Seq("host"))
-      .join(blocked, Seq("host"), "left")
-      .select(col("host"), col("n_rules"), col("n_urls"),
-        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
-        (col("n_urls") - coalesce(col("n_blocked"), lit(0L))).as("n_allowed"))
+      .filter(length(col("prefix")) > 0)
+    // one dimension-sized broadcast row per host (rule count + prefix
+    // list), one pass over the URLs, one final agg. Round 5 ran three
+    // separate aggregations over urls (n_urls, n_blocked via a semi
+    // join, n_rules) plus two joins and checkpointed two intermediates;
+    // the per-URL block decision is the same prefix semantics, applied
+    // with `exists` over the broadcast prefix list.
+    val hostRules = rules.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_rules"), collect_list(col("prefix")).as("prefixes"))
+    urls.join(broadcast(hostRules), Seq("host"))
+      .select(col("host"), col("n_rules"),
+        exists(col("prefixes"), p => col("path").startsWith(p)).as("blocked"))
+      .groupBy(col("host"), col("n_rules"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+      .select(col("host"), col("n_rules"), col("n_urls"), col("n_blocked"),
+        (col("n_urls") - col("n_blocked")).as("n_allowed"))
       .orderBy(col("host"))
   }
 
