@@ -94,19 +94,20 @@ object CorpusPipeline {
       .localCheckpoint() // consumed by the gate and the verify join
     val candUrls = cand.select(col("url_a").as("url"))
       .union(cand.select(col("url_b").as("url"))).distinct()
-    val toks = docsForLsh
+    // per-url shingle SETS as arrays (same set-intersect verify shape as
+    // Dedup.minhashLshFromBands — no shingle explode, no per-pair agg)
+    val shSets = docsForLsh
       .join(broadcast(candUrls), Seq("url"), "left_semi")
-      .select(col("url"), Dedup.tokensCol(col("text")).as("toks"))
-      .select(col("url"), explode(Dedup.shinglesExpr).as("sh"))
-    val sizes = toks.groupBy(col("url")).agg(count(lit(1)).as("n"))
+      .select(col("url"), array_distinct(
+        graft.functions.TokenGrams.tokenGrams(s, col("text"), 3)).as("sh"))
     val nearDupUrls = cand
-      .join(toks.as("a"), col("url_a") === col("a.url"))
-      .join(toks.as("b"), col("url_b") === col("b.url") && col("a.sh") === col("b.sh"))
-      .groupBy(col("url_a"), col("url_b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("url_a") === col("sa.url"))
-      .join(sizes.as("sb"), col("url_b") === col("sb.url"))
+      .join(shSets.select(col("url").as("url_a"), col("sh").as("sha"),
+        size(col("sh")).as("na")), Seq("url_a"))
+      .join(shSets.select(col("url").as("url_b"), col("sh").as("shb"),
+        size(col("sh")).as("nb")), Seq("url_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .filter(col("inter").cast("double") /
-        (col("sa.n") + col("sb.n") - col("inter")) >= Dedup.JaccardThreshold)
+        (col("na") + col("nb") - col("inter")) >= Dedup.JaccardThreshold)
       .select(col("url_b").as("url")) // keep the smaller url of each pair
       .distinct()
 

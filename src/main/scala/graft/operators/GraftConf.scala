@@ -8,7 +8,25 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftConf {
 
-  def apply(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Shuffle/spill scratch on memory-backed storage when the host offers
+    * it (the Spark-on-K8s `emptyDir medium=Memory` deployment pattern):
+    * the dedup-at-scale profile showed ~22% of active samples inside
+    * shuffle-file open/commit syscalls on the disk-backed default. Real
+    * clusters override this via `SPARK_LOCAL_DIRS`, which Spark gives
+    * precedence over `spark.local.dir` — so the setting is inert exactly
+    * where the cluster manager provisions scratch disks.
+    */
+  private def memScratch: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-spark-local")
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    memScratch.fold(b)(d => b.config("spark.local.dir", d))
     // AQE: runtime re-planning — coalesce undersized shuffle partitions,
     // split skewed ones, and re-size joins from observed statistics.
     .config("spark.sql.adaptive.enabled", "true")
@@ -26,6 +44,15 @@ object GraftConf {
     // on extracted text at similar decode speed (matters when the
     // OUTPUT table is petabytes).
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // collect_list/collect_set aggregations (LSH bucket grouping, lineage
+    // failure samples) fall back from hash to SORT-based aggregation
+    // after a default of only 128 distinct keys — the banding group-bys
+    // have ~10^5 groups per partition, and the fallback's per-task sort +
+    // spill files dominated the dedup-at-scale profile (~25% of active
+    // samples in shuffle-file opens/TimSort). 128k keys × ≤0.5 KB
+    // cap-bounded bucket lists ≈ 64 MB per task worst-case — bounded, and
+    // far cheaper than spilling every group.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     // allow shuffled hash join where its size conditions hold (guide §3.1
     // / §9): no sort on either side, graceful for the many small-dim
     // joins in the suite; sort-merge remains the planner's pick whenever

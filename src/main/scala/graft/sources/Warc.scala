@@ -14,15 +14,20 @@ import graft.model.Page
   *
   * Scale shape: WARC gzip members are NOT splittable mid-file, so the
   * unit of parallelism is the file — exactly how production crawls are
-  * processed (many ~1 GB files, one task each). `pages()` reads via the
-  * binaryFile source and parses per file inside the task; payload bytes
-  * never leave the task until the downstream operator (e.g. the extract
-  * kernel) consumes them.
+  * processed (many ~1 GB files, one task each). `pages()` lists files
+  * via the binaryFile source (paths only) and STREAMS records off each
+  * open handle inside the task: memory is bounded by `MaxRecordPayload`
+  * per record, not by file size, so a production ~1 GB `.warc.gz`
+  * (3-4 GB decompressed) parses instead of tripping a whole-file buffer
+  * bound. Payload bytes never leave the task until the downstream
+  * operator (e.g. the extract kernel) consumes them.
   *
-  * Parsing is total and bounded: a record whose Content-Length is
-  * negative, non-numeric, over the per-record cap, or past the buffer
-  * ends the file's record stream at that point (records before it are
-  * kept) — a torn tail file yields its intact prefix, never a throw.
+  * Parsing is total, bounded, and COUNTED (`drops`): a malformed header
+  * or torn/short payload ends the file's record stream (records before
+  * it are kept, `warc_torn_tails` increments); a parseable
+  * Content-Length over the per-record cap skips just that record
+  * (`warc_oversize_records_dropped` increments) and parsing continues —
+  * never a throw, never a silent drop.
   */
 object Warc {
 
@@ -82,84 +87,145 @@ object Warc {
     out.flush()
   }
 
-  /** Parse a WARC file's bytes (plain or gzip-member framed). */
-  def parse(bytes: Array[Byte]): Vector[WarcRecord] = {
-    if (bytes == null || bytes.length < 4) return Vector.empty
-    val b =
-      if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) gunzipAll(bytes)
-      else bytes
-    if (b == null) return Vector.empty
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    var ok = true
-    while (ok && pos < b.length) {
-      // skip inter-record blank lines
-      while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
-      if (pos >= b.length) ok = false
-      else {
-        val hdrEnd = indexOfDoubleCrlf(b, pos)
-        if (hdrEnd < 0) ok = false
-        else {
-          val header = new String(b, pos, hdrEnd - pos, "US-ASCII")
-          val lines = header.split("\r\n")
-          if (lines.isEmpty || !lines(0).startsWith("WARC/")) ok = false
+  /** Header-size bound: a record header past this is malformed. */
+  val MaxHeaderBytes: Int = 65536
+
+  /** Streaming record iterator over a WARC byte stream (plain or
+    * gzip-member framed — the gzip sniff reads two bytes through a
+    * pushback wrapper; `GZIPInputStream` walks the member chain
+    * natively). Memory is O(MaxRecordPayload) PER RECORD, never O(file):
+    * round 5 inflated the whole file into one buffer with a silent drop
+    * past 1 GiB decompressed, so a standard production ~1 GB `.warc.gz`
+    * (3-4 GB decompressed) silently contributed zero pages. Totality
+    * contract (every branch counted, never silent):
+    *   - torn tail / malformed header / unparsable or negative
+    *     Content-Length / corrupt gzip → iteration ends, intact prefix
+    *     kept, `onTorn` fired once;
+    *   - parseable Content-Length over `MaxRecordPayload` → the payload
+    *     is SKIPPED (no allocation), `onOversize` fired, iteration
+    *     continues with the next record (round 5 dropped every
+    *     subsequent intact record too).
+    */
+  def recordIterator(raw: java.io.InputStream,
+      onOversize: () => Unit = () => (),
+      onTorn: () => Unit = () => ()): Iterator[WarcRecord] = {
+    val in: java.io.InputStream =
+      try {
+        val pb = new java.io.PushbackInputStream(raw, 2)
+        val b0 = pb.read()
+        val b1 = pb.read()
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b)
+          new java.util.zip.GZIPInputStream(pb, 65536)
+        else pb
+      } catch { case _: java.io.IOException => onTorn(); null }
+    if (in == null) return Iterator.empty
+
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private val hdrBuf = new Array[Byte](MaxHeaderBytes)
+
+      private def torn(): Null = { onTorn(); done = true; null }
+
+      /** Read the header block (after skipping inter-record CRLFs) into
+        * hdrBuf up to the \r\n\r\n terminator; returns its length, -1 on
+        * clean EOF before any header byte, -2 on torn/malformed.
+        */
+      private def readHeader(): Int = {
+        var c = in.read()
+        // skip inter-record blank lines (writer emits \r\n\r\n after
+        // each payload)
+        while (c == '\r' || c == '\n') c = in.read()
+        if (c < 0) return -1
+        var n = 0
+        // pattern scan for \r\n\r\n while filling hdrBuf
+        var state = 0 // matched prefix length of \r\n\r\n
+        while (c >= 0 && n < MaxHeaderBytes) {
+          hdrBuf(n) = c.toByte
+          n += 1
+          state = (state, c) match {
+            case (0, '\r') => 1
+            case (1, '\n') => 2
+            case (2, '\r') => 3
+            case (3, '\n') => 4
+            case (_, '\r') => 1
+            case _         => 0
+          }
+          if (state == 4) return n - 4
+          c = in.read()
+        }
+        -2 // EOF mid-header or header over the bound
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !done) {
+          val hn =
+            try readHeader()
+            catch { case _: java.io.IOException => -2 }
+          if (hn == -1) { done = true }
+          else if (hn == -2) { torn(); () }
           else {
-            var url = ""
-            var wtype = ""
-            var clen = -1L
-            lines.iterator.drop(1).foreach { l =>
-              val i = l.indexOf(':')
-              if (i > 0) {
-                val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
-                val v = l.substring(i + 1).trim
-                k match {
-                  case "warc-target-uri" => url = v
-                  case "warc-type"       => wtype = v
-                  case "content-length" =>
-                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
-                  case _ => ()
+            val header = new String(hdrBuf, 0, hn, "US-ASCII")
+            val lines = header.split("\r\n")
+            if (lines.isEmpty || !lines(0).startsWith("WARC/")) { torn(); () }
+            else {
+              var url = ""
+              var wtype = ""
+              var clen = -1L
+              lines.iterator.drop(1).foreach { l =>
+                val i = l.indexOf(':')
+                if (i > 0) {
+                  val k = l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+                  val v = l.substring(i + 1).trim
+                  k match {
+                    case "warc-target-uri" => url = v
+                    case "warc-type"       => wtype = v
+                    case "content-length" =>
+                      clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                    case _ => ()
+                  }
                 }
               }
-            }
-            val start = hdrEnd + 4
-            if (clen < 0 || clen > MaxRecordPayload || start + clen > b.length) ok = false
-            else {
-              out += WarcRecord(url, wtype,
-                java.util.Arrays.copyOfRange(b, start, start + clen.toInt))
-              pos = start + clen.toInt
+              if (clen < 0) { torn(); () }
+              else if (clen > MaxRecordPayload) {
+                // skip the payload without allocating it; a short skip is
+                // a torn tail
+                try {
+                  in.skipNBytes(clen)
+                  onOversize()
+                } catch { case _: java.io.IOException | _: java.io.EOFException => torn(); () }
+              } else {
+                try {
+                  val payload = in.readNBytes(clen.toInt)
+                  if (payload.length < clen) { torn(); () }
+                  else nextRec = WarcRecord(url, wtype, payload)
+                } catch { case _: java.io.IOException => torn(); () }
+              }
             }
           }
         }
       }
-    }
-    out.result()
-  }
 
-  private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 3 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
-        return i
-      i += 1
-    }
-    -1
-  }
-
-  /** Inflate a whole multi-member gzip stream; null on corruption. */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(b), 65536)
-      val out = new java.io.ByteArrayOutputStream(b.length * 3)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        if (out.size > (1 << 30)) return null // stream bomb bound
-        n = in.read(buf)
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec
+        advance()
+        r
       }
-      out.toByteArray
-    } catch { case _: java.io.IOException => null }
+    }
+  }
+
+  /** Parse a WARC file's bytes (plain or gzip-member framed) — the
+    * in-memory convenience form of `recordIterator` (specs, small
+    * fixtures). The distributed read path streams instead.
+    */
+  def parse(bytes: Array[Byte]): Vector[WarcRecord] = {
+    if (bytes == null || bytes.length < 4) return Vector.empty
+    recordIterator(new java.io.ByteArrayInputStream(bytes)).toVector
   }
 
   /** Write a pages frame as `parts` gzip-member WARC files under `dir`
@@ -176,18 +242,44 @@ object Warc {
     * ONE implementation so the staging contract snapshotIdOf depends on
     * (fixed part names + fresh length/mtime) cannot diverge per caller.
     */
+  /** Driver-set Hadoop conf carried to executors (a fresh executor-side
+    * `new Configuration()` would drop fs.defaultFS / object-store
+    * credentials — round-5 advice).
+    */
+  private final class SerConf(@transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends java.io.Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   private def stageRecords[T](ds: Dataset[T], dir: String, parts: Int,
       key: org.apache.spark.sql.Column)(toRecord: T => WarcRecord): Unit = {
+    val hconf = ds.sparkSession.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(
-      ds.sparkSession.sparkContext.hadoopConfiguration).mkdirs(dirPath): Unit
+    dirPath.getFileSystem(hconf).mkdirs(dirPath): Unit
+    val bcConf = ds.sparkSession.sparkContext.broadcast(new SerConf(hconf))
     ds.repartition(parts, key).foreachPartition { (it: Iterator[T]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
-      val fs = f.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = new java.io.BufferedOutputStream(fs.create(f, true))
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+      // attempt-unique temp + rename-on-success: a retried or speculated
+      // attempt can never interleave bytes with another attempt's file
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f".part-$pid%05d.warc.gz.inprogress-${tc.taskAttemptId()}")
+      val fs = fin.getFileSystem(bcConf.value.value)
+      val out = new java.io.BufferedOutputStream(fs.create(tmp, true))
       try write(it.map(toRecord), out, gzipMembers = true)
       finally out.close()
+      if (fs.exists(fin)) fs.delete(fin, false): Unit
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"rename $tmp -> $fin failed")
     }
   }
 
@@ -228,18 +320,46 @@ object Warc {
     }
   }
 
+  /** Per-SparkContext drop counters for the WARC read path — the
+    * no-silent-caps rule (Dedup.DropCounter's role): oversize-skipped
+    * records and torn tails are counted into accumulators visible on the
+    * driver and in the UI.
+    */
+  final class DropCounters(
+      val oversizeRecords: org.apache.spark.util.LongAccumulator,
+      val tornTails: org.apache.spark.util.LongAccumulator)
+  private val dropsByCtx =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, DropCounters]
+  def drops(sc: org.apache.spark.SparkContext): DropCounters =
+    dropsByCtx.getOrElseUpdate(sc, new DropCounters(
+      sc.longAccumulator("warc_oversize_records_dropped"),
+      sc.longAccumulator("warc_torn_tails")))
+
   /** Read a directory of WARC files as records of one type: one task
-    * per file (the non-splittable-member reality), parsed in-task.
+    * per file (the non-splittable-member reality), records STREAMED off
+    * the open file handle in-task — memory bounded per record, not per
+    * file (round 5 buffered and inflated whole files).
     */
   def records(s: SparkSession, dir: String,
       warcType: String): Dataset[(String, Array[Byte])] = {
     import s.implicits._
+    val bcConf = s.sparkContext.broadcast(new SerConf(s.sparkContext.hadoopConfiguration))
+    val ctrs = drops(s.sparkContext)
+    val (oversize, torn) = (ctrs.oversizeRecords, ctrs.tornTails)
     s.read.format("binaryFile").load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(b => parse(b).iterator
-        .filter(_.warcType == warcType)
-        .map(r => (r.url, r.payload)))
+      .select(col("path"))
+      .as[String]
+      .flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(bcConf.value.value).open(p)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        recordIterator(in,
+          onOversize = () => oversize.add(1L),
+          onTorn = () => torn.add(1L))
+          .filter(_.warcType == warcType)
+          .map(r => (r.url, r.payload))
+      }
   }
 
   /** Crawl-input view: `response` records as pages. */

@@ -48,7 +48,8 @@ class WarcSpec extends AnyFunSuite {
     // cut mid-way through the LAST record's payload
     val torn = Warc.parse(java.util.Arrays.copyOf(full, full.length - 8))
     assert(torn.length == samples.length - 1)
-    // forged Content-Length over the cap: record (and the rest) rejected
+    // forged Content-Length far past the actual bytes: the skip runs off
+    // the end of the stream → torn tail, nothing kept
     val s2 = Seq(WarcRecord("https://h/x", "response",
       ("Content-Length: " + (Warc.MaxRecordPayload + 1)).getBytes("US-ASCII")))
     val o2 = new java.io.ByteArrayOutputStream()
@@ -64,6 +65,69 @@ class WarcSpec extends AnyFunSuite {
     Warc.parse(corrupt) // no throw; result content irrelevant
     assert(Warc.parse(null).isEmpty)
     assert(Warc.parse("WARC/1.0 but no headers".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("oversize record mid-file is skipped and counted; the rest is kept") {
+    // a REAL over-cap payload between two intact records: the streaming
+    // reader must skip exactly that record (no allocation of its
+    // payload) and keep parsing — round 5 discarded everything after it
+    val big = new Array[Byte](Warc.MaxRecordPayload + 1)
+    java.util.Arrays.fill(big, 'x'.toByte)
+    val recs = Seq(
+      WarcRecord("https://h/before", "response", "kept before".getBytes("UTF-8")),
+      WarcRecord("https://h/big", "response", big),
+      WarcRecord("https://h/after", "response", "kept after".getBytes("UTF-8")))
+    for (gz <- Seq(false, true)) {
+      val out = new java.io.ByteArrayOutputStream()
+      Warc.write(recs.iterator, out, gz)
+      var oversize = 0
+      var torn = 0
+      val got = Warc.recordIterator(new java.io.ByteArrayInputStream(out.toByteArray),
+        onOversize = () => oversize += 1, onTorn = () => torn += 1).toVector
+      assert(got.map(_.url) == Vector("https://h/before", "https://h/after"), s"gz=$gz")
+      assert(oversize == 1 && torn == 0, s"gz=$gz oversize=$oversize torn=$torn")
+    }
+  }
+
+  test("torn tail fires the torn callback exactly once; clean EOF fires none") {
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.write(samples.iterator, out, gzipMembers = false)
+    val full = out.toByteArray
+    var torn = 0
+    val cut = Warc.recordIterator(
+      new java.io.ByteArrayInputStream(java.util.Arrays.copyOf(full, full.length - 8)),
+      onTorn = () => torn += 1).toVector
+    assert(cut.length == samples.length - 1 && torn == 1)
+    torn = 0
+    val clean = Warc.recordIterator(new java.io.ByteArrayInputStream(full),
+      onTorn = () => torn += 1).toVector
+    assert(clean.length == samples.length && torn == 0)
+  }
+
+  test("drop counters surface through the distributed read path") {
+    import TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("warcdrops").toString
+    try {
+      val big = new Array[Byte](Warc.MaxRecordPayload + 1)
+      val out = new java.io.ByteArrayOutputStream()
+      Warc.write(Iterator(
+        WarcRecord("https://h/ok1", "response", "one".getBytes("UTF-8")),
+        WarcRecord("https://h/huge", "response", big),
+        WarcRecord("https://h/ok2", "response", "two".getBytes("UTF-8"))), out, true)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-00000.warc.gz"), out.toByteArray)
+      val ctrs = Warc.drops(spark.sparkContext)
+      val before = ctrs.oversizeRecords.value
+      val urls = Warc.pages(spark, dir).collect().map(_.url).sorted
+      assert(urls.toSeq == Seq("https://h/ok1", "https://h/ok2"))
+      assert(ctrs.oversizeRecords.value == before + 1)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   test("staged directory reads back through the Spark source, one task per file") {
