@@ -293,6 +293,11 @@ object HtmlTokenizer {
     var i = 0
     val n = b.length
     while (i < n) {
+      // ASCII fast path: signed byte >= 0 ⇔ ASCII — a dedicated skip
+      // loop (one compare per byte, unroll-friendly) instead of
+      // re-entering the full sequence dispatch per ASCII byte
+      while (i < n && b(i) >= 0) i += 1
+      if (i >= n) return true
       val c = b(i) & 0xff
       if (c < 0x80) i += 1
       else if (c < 0xc2) return false // continuation byte or overlong lead
@@ -594,8 +599,13 @@ object HtmlTokenizer {
       } else if (c == '&') {
         i = entityB(i)
       } else {
-        text.appendByte(b(i))
-        i += 1
+        // bulk-copy the run up to the next markup/entity byte — the
+        // branch every ordinary text byte takes (was one appendByte per
+        // byte; same bytes, one arraycopy per run)
+        var run = i + 1
+        while (run < n && { val d = b(run); d != '<' && d != '&' }) run += 1
+        text.append(b, i, run - i)
+        i = run
       }
     }
     flushText()

@@ -258,13 +258,20 @@ object MainContent {
     while (i < end) {
       val c = arr(i) & 0xff
       if (c < 0x80) {
-        if (isWsAscii(c)) pendingSpace = true
+        if (isWsAscii(c)) { pendingSpace = true; i += 1 }
         else {
+          // run of plain ASCII: one length add per run instead of one
+          // state-machine step per byte (no whitespace inside the run by
+          // construction — identical count)
+          var run = i + 1
+          while (run < end && {
+            val d = arr(run) & 0xff; d < 0x80 && !isWsAscii(d)
+          }) run += 1
           if (pendingSpace && out > 0) out += 1
           pendingSpace = false
-          out += 1
+          out += run - i
+          i = run
         }
-        i += 1
       } else {
         val cp = cpAt(arr, i)
         if (Character.isWhitespace(cp) || cp == 0xa0) pendingSpace = true
@@ -330,14 +337,21 @@ object MainContent {
                 while (ci < cEnd) {
                   val c = heap(ci) & 0xff
                   if (c < 0x80) {
-                    if (isWsAscii(c)) pendingSpace = true
+                    if (isWsAscii(c)) { pendingSpace = true; ci += 1 }
                     else {
+                      // bulk-copy the run of plain non-ws ASCII (the
+                      // dominant byte class) — one arraycopy per run
+                      // instead of one appendByte per byte
+                      var run = ci + 1
+                      while (run < cEnd && {
+                        val d = heap(run) & 0xff; d < 0x80 && !isWsAscii(d)
+                      }) run += 1
                       if (pendingSpace && out16 > start16) { out.appendByte(' '); out16 += 1 }
                       pendingSpace = false
-                      out.appendByte(heap(ci))
-                      out16 += 1
+                      out.append(heap, ci, run - ci)
+                      out16 += run - ci
+                      ci = run
                     }
-                    ci += 1
                   } else {
                     val cp = cpAt(heap, ci)
                     val sl = seqLen(c)
