@@ -268,7 +268,12 @@ object SparkEntry {
       // aggregated into an edge table. The raw markup materializes as
       // TEXT so DuckDB re-extracts the hrefs with ITS OWN regex over the
       // same pages — extraction itself is cross-engine-verified, not
-      // just the aggregation
+      // just the aggregation.
+      // FIXTURE CONTRACT (round-5 advice): the oracle regex matches
+      // '<a href="..."' with a double-quoted href as the FIRST attribute
+      // only, while LinkExtract.hrefs parses any order/quoting — the
+      // corpus generator (PageSynth) must keep emitting anchors in
+      // exactly that shape, or widen the oracle regex in the same change
       "link_graph" -> ((s, dir) => {
         import s.implicits._
         val mat = materialize(s, s"${oracleBase(dir)}/html_pages") {
