@@ -92,8 +92,10 @@ object CorpusPipeline {
       .select(col("p.url_a"), col("p.url_b"))
       .distinct()
       .localCheckpoint() // consumed by the gate and the verify join
+    // no .distinct(): left-semi broadcast build side — duplicates are
+    // semantics-free, the distinct was a pure extra exchange
     val candUrls = cand.select(col("url_a").as("url"))
-      .union(cand.select(col("url_b").as("url"))).distinct()
+      .unionAll(cand.select(col("url_b").as("url")))
     // per-url shingle SETS as arrays (same set-intersect verify shape as
     // Dedup.minhashLshFromBands — no shingle explode, no per-pair agg)
     val shSets = docsForLsh

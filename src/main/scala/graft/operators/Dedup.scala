@@ -388,8 +388,11 @@ object Dedup {
     // size(array_intersect) and |A| size(sh) — no shingle explode, no
     // (doc, shingle) string shuffle, no per-pair count agg, no separate
     // sizes frame (round 5 ran all four).
+    // no .distinct() on the gate frame: it feeds a LEFT SEMI broadcast
+    // join, where duplicate build-side keys cannot change the result —
+    // the distinct was a pure extra exchange on the tiny pair set
     val candDocs = cand.select(col("id_a").as("doc_id"))
-      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+      .unionAll(cand.select(col("id_b").as("doc_id")))
     val sh = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(
         graft.functions.TokenGrams.tokenGrams(s, col("text"), 3)).as("sh"))
