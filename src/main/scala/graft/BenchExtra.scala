@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * scheduling-overhead-bound, so job/stage counts are the first metric).
   *
   * Env:
-  *   SPARK_GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
-  *   SPARK_GRAFT_CPUS      cores (default 32)
-  *   SPARK_GRAFT_PLAN_DIR  if set, write <query>.txt explain files there
-  *   SPARK_GRAFT_ONLY      comma-separated query subset
+  *   SPARK_GRAFT_SF_DIR     input dir (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CPUS       cores (default 32)
+  *   SPARK_GRAFT_PLAN_DIR   if set, write <query>.txt explain files there
+  *   SPARK_GRAFT_ONLY       comma-separated query subset
+  *   SPARK_GRAFT_EXTRA_REPS best-of-N reps (default 2)
+  *   SPARK_GRAFT_SINK       "noop" to time df.write.format("noop") (guide
+  *                          §1.4: materializes EVERY column) instead of
+  *                          the harness's agg(count) action
+  *   SPARK_GRAFT_PLAN_EXTRA "1" to also dump plans for the touched but
+  *                          non-benched queries (no timing)
   */
 object BenchExtra {
 
@@ -72,26 +78,37 @@ object BenchExtra {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    val noop = sys.env.get("SPARK_GRAFT_SINK").contains("noop")
+    def consume(df: DataFrame): Unit =
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else { df.agg(count(lit(1))).collect(); () }
+    def dumpPlan(name: String, df: DataFrame): Unit = planDir.foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(d, s"$name.txt"), plan): Unit
+    }
 
     val rows = secondary.map { name =>
       val fn = rawOps.getOrElse(name, SparkEntry.queries(name))
       s.sparkContext.setJobDescription(s"warm:$name")
-      fn(s, sfDir).agg(count(lit(1))).collect()
-      planDir.foreach { d =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-        val plan = fn(s, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(d, s"$name.txt"), plan)
-      }
+      consume(fn(s, sfDir))
+      dumpPlan(name, fn(s, sfDir))
       counter.reset()
       s.sparkContext.setJobDescription(s"timed:$name")
-      val (_, t1) = timed(fn(s, sfDir).agg(count(lit(1))).collect())
+      val (_, t1) = timed(consume(fn(s, sfDir)))
       val (j, st, tk) = (counter.jobs.get, counter.stages.get, counter.tasks.get)
       val reps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt
-      val more = (1 until reps).map(_ => timed(fn(s, sfDir).agg(count(lit(1))).collect())._2)
+      val more = (1 until reps).map(_ => timed(consume(fn(s, sfDir)))._2)
       (name, (t1 +: more).min, j, st, tk)
     }
+    // touched-but-not-benched queries: plan evidence only (their
+    // operators changed through the shared helpers this round)
+    if (sys.env.get("SPARK_GRAFT_PLAN_EXTRA").contains("1"))
+      Seq("dedup_ngram_jaccard", "dedup_clusters_lsh", "pipeline_corpus",
+        "q_warc_source", "q_wet_sink").foreach { name =>
+        dumpPlan(name, SparkEntry.queries(name)(s, sfDir))
+      }
     println(f"${"query"}%-24s ${"sec"}%8s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s")
     rows.foreach { case (n, t, j, st, tk) =>
       println(f"$n%-24s $t%8.3f $j%5d $st%7d $tk%6d")
